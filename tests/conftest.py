@@ -1,0 +1,23 @@
+"""Test configuration: force an 8-device CPU mesh before JAX initializes.
+
+Multi-chip behavior is validated on virtual CPU devices (SURVEY.md §4) — the
+real TPU is reserved for bench runs, and first-compile latency on TPU would
+dominate unit tests anyway.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vpho_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
+# test-side verification math must not run at the bf16-grade default matmul
+# precision; library geometry code pins Precision.HIGHEST explicitly where it
+# matters, NN-trunk code intentionally keeps the fast default
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,128 @@
+"""End-to-end smoke tests: init, trunk, train forward (grads), predict path.
+
+Tiny shapes throughout (B=2, 64px crops, S=4 hypotheses, 5 ODE steps) so the
+whole model graph compiles and runs on the CPU test mesh in reasonable time.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpho_tpu.data.fixtures import make_batch
+from vpho_tpu.models import vpho as V
+from vpho_tpu.models.vpho import ModelConfig, VPHONet, forward_predict, forward_train
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    cfg = ModelConfig(sample_num=4, sampling_steps=5, topk_hand=3, topk_obj=2,
+                      repeat_num=2, patch_size=64)
+    return V.make_context(cfg)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars(ctx):
+    model = VPHONet()
+    batch = make_batch(ctx, jax.random.PRNGKey(0), batch_size=2, patch_size=64)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        batch, False,
+    )
+    return model, variables
+
+
+class TestInit:
+    def test_param_collections(self, model_and_vars):
+        _, variables = model_and_vars
+        assert "params" in variables and "batch_stats" in variables
+        assert "buffers" in variables  # frozen fourier features
+        n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+        # dual-stream resnet50 FPN dominates; sanity range ~40M-120M
+        assert 30e6 < n_params < 150e6, n_params
+
+    def test_zero_init_denoiser_final(self, model_and_vars):
+        _, variables = model_and_vars
+        p = variables["params"]["denoiser_hand"]["ManoPoseHead_0"]["ParallelLinear_1"]
+        assert float(jnp.abs(p["kernel"]).max()) == 0.0
+
+
+class TestTrunk:
+    def test_shapes(self, ctx, model_and_vars):
+        model, variables = model_and_vars
+        batch = make_batch(ctx, jax.random.PRNGKey(3), 2, 64)
+        out = model.apply(variables, batch, False, method=VPHONet.trunk)
+        assert out["encoding_hand"].shape == (2, 1024)
+        assert out["encoding_obj"].shape == (2, 1024)
+        assert out["pd_hm_hand"].shape == (2, 21, 64, 64)
+        assert out["pd_hm_obj"].shape == (2, 27, 64, 64)
+        assert out["pd_mano_pose"].shape == (2, 48)
+        assert out["pd_mano_shape"].shape == (2, 10)
+        assert out["pd_phy"]["force_local"].shape == (2, 32, 3)
+        assert out["pd_phy"]["CoM"].shape == (2, 32, 3)
+        assert all(np.isfinite(np.asarray(v)).all()
+                   for v in jax.tree.leaves(out))
+
+
+class TestTrain:
+    def test_loss_and_grads(self, ctx, model_and_vars):
+        model, variables = model_and_vars
+        batch = make_batch(ctx, jax.random.PRNGKey(4), 2, 64)
+
+        def loss_fn(params):
+            vs = dict(variables, params=params)
+            total, loss_dt, _ = forward_train(model, vs, ctx, batch, jax.random.PRNGKey(5))
+            return total, loss_dt
+
+        (total, loss_dt), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"])
+        assert np.isfinite(float(total))
+        expected_keys = {
+            "diff_hand_loss", "diff_obj_loss", "hm_hand_loss", "hm_obj_loss",
+            "vert_loss", "joint_loss", "mano_pose_loss", "mano_shape_loss",
+            "force_loss", "gravity_loss", "torque_loss", "supervised_loss",
+            "CoM_loss", "total_loss",
+        }
+        assert expected_keys <= set(loss_dt.keys())
+        for k, v in loss_dt.items():
+            assert np.isfinite(float(v)), k
+        gmax = max(float(jnp.abs(g).max()) for g in jax.tree.leaves(grads))
+        assert np.isfinite(gmax) and gmax > 0
+
+    def test_batch_stats_updated(self, ctx, model_and_vars):
+        model, variables = model_and_vars
+        batch = make_batch(ctx, jax.random.PRNGKey(6), 2, 64)
+        _, _, mutated = forward_train(model, variables, ctx, batch, jax.random.PRNGKey(7))
+        old = jax.tree.leaves(variables["batch_stats"])
+        new = jax.tree.leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(old, new)
+        )
+        assert changed
+
+
+class TestPredict:
+    def test_full_predict_pipeline(self, ctx, model_and_vars):
+        model, variables = model_and_vars
+        batch = make_batch(ctx, jax.random.PRNGKey(8), 2, 64)
+        pd = forward_predict(model, variables, ctx, batch, jax.random.PRNGKey(9))
+        S = ctx.cfg.sample_num
+        assert pd["reg_hand_vert"].shape == (2, 778, 3)
+        assert pd["reg_hand_joint"].shape == (2, 21, 3)
+        assert pd["diff_final_hand_mano"].shape == (2, S, 58)
+        assert pd["diff_final_hand_vert"].shape == (2, S, 778, 3)
+        assert pd["diff_final_obj_6d"].shape == (2, S, 9)
+        assert pd["agg_obj_6d"].shape == (2, 9)
+        assert pd["agg_hand_mano"].shape == (2, 58)
+        assert pd["agg_hand_vert"].shape == (2, 778, 3)
+        assert pd["agg_hand_joint"].shape == (2, 21, 3)
+        for k, v in pd.items():
+            assert np.isfinite(np.asarray(v)).all(), k
+
+    def test_predict_jittable(self, ctx, model_and_vars):
+        model, variables = model_and_vars
+        batch = make_batch(ctx, jax.random.PRNGKey(10), 2, 64)
+        fn = jax.jit(lambda v, b, r: forward_predict(model, v, ctx, b, r)["agg_hand_vert"])
+        out = fn(variables, batch, jax.random.PRNGKey(11))
+        assert out.shape == (2, 778, 3)

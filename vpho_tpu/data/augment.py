@@ -1,0 +1,123 @@
+"""Image augmentation (host-side, numpy/cv2 — no albumentations dependency).
+
+Reimplements the reference ``ImageAugmentor`` pipeline (lib/dataset/base.py:
+349-432): CLAHE, RGB shift, color jitter (brightness/contrast/saturation/hue),
+Gaussian blur, motion blur — each applied with its own probability — plus
+timm-style RandomErasing on the normalized tensor (pixel mode).
+
+All functions take/return uint8 HWC RGB except ``random_erasing`` which works
+on the normalized float image.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import cv2
+import numpy as np
+
+IMG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def normalize_rgb(rgb: np.ndarray) -> np.ndarray:
+    """uint8 HWC RGB -> normalized float32 (base.py:103-108)."""
+    return (rgb.astype(np.float32) / 255.0 - IMG_MEAN) / IMG_STD
+
+
+@dataclasses.dataclass
+class AugmentConfig:
+    clahe_prob: float = 0.5
+    RGB_shift_prob: float = 0.5
+    shift_limit: tuple = (-20, 20)
+    color_jitter_prob: float = 0.5
+    brightness: tuple = (0.6, 1.3)
+    contrast: tuple = (0.6, 1.3)
+    saturation: tuple = (0.6, 1.3)
+    hue: tuple = (-0.15, 0.15)
+    gaussian_blur_prob: float = 0.5
+    blur_limit: tuple = (3, 7)
+    sigma_limit: tuple = (0.2, 2.0)
+    motion_blur_prob: float = 0.5
+    motion_blur_limit: tuple = (3, 7)
+    random_erasing_prob: float = 0.5
+    random_erasing_min_area: float = 0.02
+    random_erasing_max_area: float = 0.2
+    random_erasing_max_count: int = 1
+
+
+class ImageAugmentor:
+    def __init__(self, cfg: AugmentConfig | None = None):
+        self.cfg = cfg or AugmentConfig()
+
+    def run_color(self, rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        c = self.cfg
+        img = rgb
+        if rng.rand() < c.clahe_prob:
+            img = self._clahe(img)
+        if rng.rand() < c.RGB_shift_prob:
+            shift = rng.uniform(c.shift_limit[0], c.shift_limit[1], size=3)
+            img = np.clip(img.astype(np.int16) + shift[None, None], 0, 255).astype(np.uint8)
+        if rng.rand() < c.color_jitter_prob:
+            img = self._color_jitter(img, rng)
+        if rng.rand() < c.gaussian_blur_prob:
+            k = int(rng.choice(np.arange(c.blur_limit[0], c.blur_limit[1] + 1, 2)))
+            sigma = rng.uniform(*c.sigma_limit)
+            img = cv2.GaussianBlur(img, (k, k), sigma)
+        if rng.rand() < c.motion_blur_prob:
+            img = self._motion_blur(img, rng)
+        return img
+
+    @staticmethod
+    def _clahe(img: np.ndarray) -> np.ndarray:
+        lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
+        clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+        lab[..., 0] = clahe.apply(lab[..., 0])
+        return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
+
+    def _color_jitter(self, img: np.ndarray, rng) -> np.ndarray:
+        c = self.cfg
+        f = img.astype(np.float32)
+        f = f * rng.uniform(*c.brightness)                          # brightness
+        mean = f.mean()
+        f = (f - mean) * rng.uniform(*c.contrast) + mean            # contrast
+        hsv = cv2.cvtColor(np.clip(f, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV).astype(np.float32)
+        hsv[..., 1] *= rng.uniform(*c.saturation)                   # saturation
+        hsv[..., 0] = (hsv[..., 0] + rng.uniform(*c.hue) * 180) % 180  # hue
+        hsv[..., 1:] = np.clip(hsv[..., 1:], 0, 255)
+        return cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+
+    def _motion_blur(self, img: np.ndarray, rng) -> np.ndarray:
+        c = self.cfg
+        k = int(rng.choice(np.arange(c.motion_blur_limit[0], c.motion_blur_limit[1] + 1, 2)))
+        kernel = np.zeros((k, k), np.float32)
+        ang = rng.rand() * np.pi
+        x0, y0 = k // 2, k // 2
+        dx, dy = np.cos(ang), np.sin(ang)
+        for t in np.linspace(-k / 2, k / 2, 2 * k):
+            xi, yi = int(round(x0 + t * dx)), int(round(y0 + t * dy))
+            if 0 <= xi < k and 0 <= yi < k:
+                kernel[yi, xi] = 1.0
+        kernel /= max(kernel.sum(), 1.0)
+        return cv2.filter2D(img, -1, kernel)
+
+    def run_random_erasing(self, norm_img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        """timm RandomErasing, pixel mode, on the normalized HWC float image."""
+        c = self.cfg
+        img = norm_img
+        for _ in range(c.random_erasing_max_count):
+            if rng.rand() >= c.random_erasing_prob:
+                continue
+            H, W = img.shape[:2]
+            area = H * W
+            for _ in range(10):
+                target = rng.uniform(c.random_erasing_min_area, c.random_erasing_max_area) * area
+                ratio = np.exp(rng.uniform(np.log(0.3), np.log(1 / 0.3)))
+                h = int(round(np.sqrt(target * ratio)))
+                w = int(round(np.sqrt(target / ratio)))
+                if h < H and w < W:
+                    y = rng.randint(0, H - h)
+                    x = rng.randint(0, W - w)
+                    img = img.copy()
+                    img[y:y + h, x:x + w] = rng.randn(h, w, img.shape[2]).astype(img.dtype)
+                    break
+        return img

@@ -1,0 +1,541 @@
+"""DexYCB dataset: index/filter logic + the per-item geometry pipeline.
+
+Host-side port of lib/dataset/dexycb6.py (DexYCBDataset_Force) and the
+filter/augment machinery of lib/dataset/base.py.  Differences from the
+reference, by design:
+  * MANO FK runs through the pure-JAX layer (cached CPU jit) instead of a
+    second manopth dependency
+  * heatmaps are synthesized by the vectorized generators in ops/heatmap.py
+  * object name strings are replaced by integer ids end-to-end
+  * missing side-caches (contact / pseudo-force pkls, gravity json) degrade
+    gracefully to zeros + is_grasped=False with a one-time warning, so
+    training runs before force_optim has produced labels
+
+The per-item semantics it preserves (each pinned by fixture tests):
+  * spatial aug: center jitter / scale / in-plane rotation with the
+    2D-affine == 3D-optical-axis-rotation equivalence (base.py:522-574) and
+    the retry-loop keeping both bboxes in frame (dexycb6.py:339-364)
+  * FK-based translation re-correction after the 3D rotation (:368-387)
+  * the left-hand flip protocol: image+hand flipped, object NEVER flipped,
+    translation re-corrected through FK (:394-431)
+  * wrist-relative object translation (:447-451)
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import pickle
+import warnings
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, List
+
+import cv2
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..configs.config import Config
+from ..models import anchor as anchor_lib
+from ..models.mano import MANOModel, load_mano, mano_fk
+from ..models.ycb import YCB_CLASSES, YCBRegistry, load_registry
+from ..ops.heatmap import adaptive_bbox_heatmap, square_bbox_heatmap
+from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
+
+
+# ---------------------------------------------------------------------------
+# bbox helpers (misc_fn.py:88-247 numpy subset)
+# ---------------------------------------------------------------------------
+
+
+def pt2d_to_bbox(pts: np.ndarray) -> np.ndarray:
+    return np.array([pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()])
+
+
+def expand_bbox(bbox: np.ndarray, scale: float = 1.0) -> np.ndarray:
+    c = (bbox[:2] + bbox[2:]) / 2
+    half = (bbox[2:] - bbox[:2]) / 2 * scale
+    return np.concatenate([c - half, c + half])
+
+
+def rectangularize(bbox: np.ndarray) -> np.ndarray:
+    c = (bbox[:2] + bbox[2:]) / 2
+    half = (bbox[2:] - bbox[:2]).max() / 2
+    return np.concatenate([c - half, c + half])
+
+
+def bbox_in_image(bbox: np.ndarray, size: int) -> bool:
+    return (bbox[0] >= 0 and bbox[1] >= 0 and bbox[2] <= size and bbox[3] <= size
+            and bbox[0] < bbox[2] and bbox[1] < bbox[3])
+
+
+# ---------------------------------------------------------------------------
+# sample filters (base.py:284-346)
+# ---------------------------------------------------------------------------
+
+
+def filter_hfl(sample: dict) -> bool:
+    """2023_CVPR_HFL: 1.5x-expanded hand bbox must fit in the 640x480 frame."""
+    jt2d = np.array(sample["joint_2d"], np.float32).squeeze()
+    x1, y1, x2, y2 = pt2d_to_bbox(jt2d)
+    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+    w, h = (x2 - x1) * 1.5, (y2 - y1) * 1.5
+    x, y = cx - w / 2, cy - h / 2
+    x1c, y1c = max(0, x), max(0, y)
+    x2c = min(640 - 1, x1c + max(0, w - 1))
+    y2c = min(480 - 1, y1c + max(0, h - 1))
+    return bool(w * h > 0 and x2c >= x1c and y2c >= y1c)
+
+
+def filter_artiboost(sample: dict, registry: YCBRegistry, thresh_mm: float = 50.0) -> bool:
+    """2022_CVPR_ArtiBoost: right hands, visible, hand-object distance <= 50mm."""
+    if sample["mano_side"] == "left":
+        return False
+    jt2d = np.array(sample["joint_2d"], np.float32).squeeze()
+    if np.all(jt2d == -1.0):
+        return False
+    jt3d = np.array(sample["joint_3d"], np.float32).squeeze()
+    rt = np.array(sample["pose_y"][sample["ycb_grasp_ind"]], np.float32)
+    obj_id = sample["ycb_ids"][sample["ycb_grasp_ind"]] - 1
+    verts = np.asarray(registry.verts_sampled[obj_id])
+    vt = verts @ rt[:3, :3].T + rt[:3, 3]
+    d = np.linalg.norm(vt[:, None] - jt3d[None], axis=-1).min()
+    return bool(d * 1000.0 <= thresh_mm)
+
+
+# ---------------------------------------------------------------------------
+# geometry helpers
+# ---------------------------------------------------------------------------
+
+
+def _aa_to_mat(aa: np.ndarray) -> np.ndarray:
+    theta = np.linalg.norm(aa)
+    if theta < 1e-9:
+        return np.eye(3)
+    k = aa / theta
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _mat_to_aa(R: np.ndarray) -> np.ndarray:
+    cos = np.clip((np.trace(R) - 1) / 2, -1, 1)
+    theta = np.arccos(cos)
+    if theta < 1e-9:
+        return np.zeros(3)
+    axis = np.array([R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1]])
+    axis = axis / (2 * np.sin(theta))
+    return axis * theta
+
+
+def _mat_to_rot6d(R: np.ndarray) -> np.ndarray:
+    return R[:2, :].reshape(6)
+
+
+@functools.lru_cache(maxsize=4)
+def _fk_fn(side: str):
+    """Cached single-sample CPU FK closure over the (global) MANO models."""
+    model = load_mano(side=side)
+    cpu = jax.devices("cpu")[0]
+
+    @functools.partial(jax.jit, device=cpu)
+    def fk(pose, shape):
+        return mano_fk(model, pose[None], shape[None])
+
+    return model, fk
+
+
+def get_hand_vert(pose_aa_flat: np.ndarray, beta: np.ndarray, global_rot: np.ndarray,
+                  transl: np.ndarray, is_right: bool):
+    """FK with global rot+transl, meters (base.py:143-165 semantics)."""
+    side = "right" if is_right else "left"
+    _, fk = _fk_fn(side)
+    pose = np.concatenate([global_rot, pose_aa_flat]).astype(np.float32)
+    verts, joints = fk(jnp.asarray(pose), jnp.asarray(beta.astype(np.float32)))
+    verts = np.asarray(verts)[0] / 1000.0
+    joints = np.asarray(joints)[0] / 1000.0
+    # our FK is wrist-centered; manopth with th_trans adds (trans + root)
+    # — the reference relies only on relative geometry + its own translation
+    # correction through the wrist, so wrist-centered + transl is equivalent
+    return verts + transl, joints + transl
+
+
+class DexYCBForceDataset:
+    """The live DexYCB dataset (dexycb6.py:33-509)."""
+
+    def __init__(self, cfg: Config, data_dir: str, is_train: bool):
+        self.cfg = cfg
+        self.data_dir = data_dir
+        self.is_train = is_train
+        self.registry = load_registry(cfg.models_dir or os.path.join(data_dir, "models"))
+        self.mano_r, _ = _fk_fn("right")
+        self.mano_l, _ = _fk_fn("left")
+        self.tables = anchor_lib.load_anchor_tables(self.mano_r)
+        self.augmentor = ImageAugmentor(AugmentConfig(
+            clahe_prob=cfg.clahe_prob, RGB_shift_prob=cfg.RGB_shift_prob,
+            shift_limit=tuple(cfg.shift_limit), color_jitter_prob=cfg.color_jitter_prob,
+            brightness=tuple(cfg.brightness), contrast=tuple(cfg.contrast),
+            saturation=tuple(cfg.saturation), hue=tuple(cfg.hue),
+            gaussian_blur_prob=cfg.gaussian_blur_prob, blur_limit=tuple(cfg.blur_limit),
+            sigma_limit=tuple(cfg.sigma_limit), motion_blur_prob=cfg.motion_blur_prob,
+            motion_blur_limit=tuple(cfg.motion_blur_limit),
+            random_erasing_prob=cfg.random_erasing_prob,
+            random_erasing_min_area=cfg.random_erasing_min_area,
+            random_erasing_max_area=cfg.random_erasing_max_area,
+            random_erasing_max_count=int(cfg.random_erasing_max_count),
+        ))
+        self.samples, self.index_ls = self._load_samples()
+        self.date2extr, self.date_ls = self._load_cam_extr()
+        self.date2gravity = self._load_gravity()
+        self._warned: set = set()
+
+    # -- index / caches --------------------------------------------------
+
+    def _load_samples(self):
+        split = "train" if self.is_train else "test"
+        s0_json = os.path.join(self.data_dir, f"dex_ycb_s0_{split}_data.json")
+        index_path = os.path.join(
+            self.data_dir, "cache", "annotation",
+            f"{self.cfg.clean_data_mode}_{split}_index_tpu.json")
+        with open(s0_json, "r") as f:
+            data = json.load(f)
+        if os.path.exists(index_path):
+            with open(index_path) as f:
+                index_ls = json.load(f)
+        else:
+            index_ls = []
+            for k, v in data.items():
+                if not self._skip(v):
+                    index_ls.append(k)
+            os.makedirs(os.path.dirname(index_path), exist_ok=True)
+            with open(index_path, "w") as f:
+                json.dump(index_ls, f)
+        return data, index_ls
+
+    def _skip(self, sample: dict) -> bool:
+        mode = self.cfg.clean_data_mode
+        if mode in ("2023_CVPR_HFL", "2023_WACV_DMA", "2023_NIPS_DeepSimHO"):
+            if self.is_train:
+                return not filter_hfl(sample)
+            if mode == "2023_CVPR_HFL":
+                return False
+            # DMA / DeepSimHO test lists need their published asset files
+            asset = {"2023_WACV_DMA": "asset/2023_WACV_DMA/test_idx/dex-ycb_test.pkl",
+                     "2023_NIPS_DeepSimHO": "asset/2023_NIPS_DeepSimHO/cache/DexYCB/valid.txt"}[mode]
+            if not os.path.exists(asset):
+                raise FileNotFoundError(
+                    f"{mode} test filtering requires {asset} (reference "
+                    f"dexycb6.py:58-84)")
+            if mode == "2023_WACV_DMA":
+                with open(asset, "rb") as f:
+                    frames = pickle.load(f)["frame_index"]["img"].tolist()
+                self._dma = {x[10:] for x in frames}
+                return sample["color_file"] not in self._dma
+            with open(asset) as f:
+                valid = {l.strip() for l in f}
+            return sample["color_file"] not in valid
+        if mode == "2022_CVPR_ArtiBoost":
+            return not filter_artiboost(sample, self.registry)
+        if mode == "stable_grasping":
+            asset = "asset/ours/DexYCB/is_off_desk_5cm.pkl"
+            if not os.path.exists(asset):
+                raise FileNotFoundError(f"stable_grasping requires {asset}")
+            if not hasattr(self, "_off_desk"):
+                with open(asset, "rb") as f:
+                    self._off_desk = pickle.load(f)
+            d = sample["color_file"].split("/")
+            seq = d[0] + "/" + d[1]
+            return not self._off_desk[seq][int(d[-1].split(".")[0].split("_")[-1])]
+        raise NotImplementedError(mode)
+
+    def _load_cam_extr(self):
+        path = os.path.join(self.data_dir, "calibration")
+        date2extr, dates = {}, []
+        if os.path.isdir(path):
+            import yaml
+
+            for f in sorted(os.listdir(path)):
+                if "extrinsic" in f:
+                    with open(os.path.join(path, f, "extrinsics.yml")) as file:
+                        extr = yaml.safe_load(file)["extrinsics"]
+                    date = int(f.split("_")[1])
+                    date2extr[date] = {k: np.array(v).reshape(3, 4) for k, v in extr.items()}
+                    dates.append(date)
+        return date2extr, np.array(dates)
+
+    def _load_gravity(self, path="asset/ours/DexYCB/gravity_direction.json"):
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return {k: np.array(v)[None] for k, v in json.load(f).items()}
+
+    def _warn_once(self, key, msg):
+        if key not in self._warned:
+            warnings.warn(msg)
+            self._warned.add(key)
+
+    def get_gravity(self, color_file: str) -> np.ndarray:
+        d = color_file.split("/")
+        key = d[0] + "/" + d[1] + "/" + "840412060917"
+        if key in self.date2gravity and len(self.date_ls):
+            g = self.date2gravity[key]
+            date = int(d[-3].split("_")[0]) if d[-3][0].isdigit() else int(d[0].split("-")[0])
+            mask = (self.date_ls - date) <= 0
+            nearest = self.date_ls[mask].max() if mask.any() else self.date_ls.min()
+            extr = self.date2extr[nearest][d[-2]]
+            return (g @ extr[:3, :3]).reshape(1, 3)
+        self._warn_once("gravity", "gravity assets missing; using camera-down [0, 9.8, 0]")
+        return np.array([[0.0, 9.8, 0.0]])
+
+    def get_force(self, color_file: str):
+        p = os.path.join(self.data_dir, "cache", "hand_force",
+                         color_file.replace(".jpg", ".pkl").replace("color_", "hand_force_"))
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                dt = pickle.load(f)
+            return np.asarray(dt["force_local"], np.float32)
+        self._warn_once("force", "pseudo-force cache missing (run force_optim); using zeros")
+        return np.zeros((32, 3), np.float32)
+
+    def get_contact(self, color_file: str, hand_vert: np.ndarray, obj_id: int,
+                    obj_rt: np.ndarray) -> np.ndarray:
+        """Per-vertex contact: cache if present, else direct NN distance calc
+        (replaces base.py:694-838's render+sklearn pipeline with a plain
+        nearest-distance weighting — the sigmoid weighting of
+        physics_fn.py:96-112 on vertex-to-surface distances)."""
+        verts = np.asarray(self.registry.verts_sampled[obj_id])
+        obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
+        d2 = ((hand_vert[:, None] - obj_cam[None]) ** 2).sum(-1)
+        dist = np.sqrt(d2.min(-1))
+        lo, hi = self.cfg.contact_normal_distance_thresh if hasattr(
+            self.cfg, "contact_normal_distance_thresh") else (-0.01, 0.01)
+        contact = np.clip(1.0 - dist / max(hi, 1e-3), 0.0, 1.0)
+        return contact.astype(np.float32)
+
+    def __len__(self):
+        return len(self.index_ls)
+
+    # -- per-item pipeline ------------------------------------------------
+
+    def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        sample = self.samples[self.index_ls[index]]
+        rng = np.random.RandomState((index * 9973 + 7) % 2**31)
+        P = self.cfg.patch_size
+
+        rgb_path = os.path.join(self.data_dir, sample["color_file"])
+        rgb = cv2.imread(rgb_path)[..., ::-1].copy()
+        K = np.array([[sample["intrinsics"]["fx"], 0, sample["intrinsics"]["ppx"]],
+                      [0, sample["intrinsics"]["fy"], sample["intrinsics"]["ppy"]],
+                      [0, 0, 1]], np.float32)
+
+        is_right = sample["mano_side"] == "right"
+        pose_m = np.array(sample["pose_m"], np.float32).squeeze()
+        beta = np.array(sample["mano_betas"], np.float32)
+        jt3d = np.array(sample["joint_3d"], np.float32).squeeze()
+        jt2d = np.array(sample["joint_2d"], np.float32).squeeze()
+        global_rot = pose_m[:3].copy()
+        transl = pose_m[-3:].copy()
+        pca = pose_m[3:-3]
+        mano_model = self.mano_r if is_right else self.mano_l
+        aa_mean = pca @ np.asarray(mano_model.hands_components)
+        aa_flat = aa_mean + np.asarray(mano_model.hands_mean)
+
+        obj_rt = np.array(sample["pose_y"][sample["ycb_grasp_ind"]], np.float32)
+        obj_id = sample["ycb_ids"][sample["ycb_grasp_ind"]] - 1
+        kpt3d = np.asarray(self.registry.kpt3d[obj_id]) @ obj_rt[:3, :3].T + obj_rt[:3, 3]
+        kpt2d = kpt3d @ K.T
+        kpt2d = kpt2d[:, :2] / kpt2d[:, 2:]
+        obj_com = np.asarray(self.registry.com[obj_id]) @ obj_rt[:3, :3].T + obj_rt[:3, 3]
+
+        gravity = self.get_gravity(sample["color_file"]).astype(np.float32)
+
+        # contact -> anchors -> is_grasped
+        gt_vert0, _ = get_hand_vert(aa_flat, beta, global_rot, transl, is_right)
+        contact = self.get_contact(sample["color_file"], gt_vert0, obj_id, obj_rt)
+        force_contact = np.asarray(anchor_lib.pool_contact_to_anchors(
+            self.tables, jnp.asarray(contact)))
+        is_grasped = bool(anchor_lib.check_is_grasped(jnp.asarray(force_contact)))
+        force_local = self.get_force(sample["color_file"])
+
+        # spatial augmentation with bbox-in-frame retry (dexycb6.py:339-364)
+        if self.is_train:
+            center_jit = self.cfg.center_jittering * rng.uniform(-1, 1, 2)
+            scale = self.cfg.scale_factor * rng.rand() + 1
+            rot = (rng.uniform(-1, 1) * self.cfg.max_rot / 180 * np.pi
+                   if rng.rand() < self.cfg.rot_prob else 0.0)
+        else:
+            center_jit, scale, rot = np.zeros(2), 1.0, 0.0
+
+        for _ in range(100):
+            R3, A2, K_crop = self._augmentation_rotmat(center_jit, scale, rot, jt2d, kpt2d, K)
+            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
+            _jt2d = jt2d @ A2[:2, :2].T + A2[:2, 2]
+            _kpt2d = kpt2d @ A2[:2, :2].T + A2[:2, 2]
+            bbox_hand = expand_bbox(pt2d_to_bbox(_jt2d), 1.15)
+            bbox_hand_rect = rectangularize(bbox_hand)
+            bbox_obj = expand_bbox(pt2d_to_bbox(_kpt2d), 1.10)
+            bbox_obj_rect = rectangularize(bbox_obj)
+            if bbox_in_image(bbox_hand_rect, P) and bbox_in_image(bbox_obj_rect, P):
+                break
+            scale *= 1.01
+        else:
+            raise ValueError(f"index {index}: bbox out of image")
+        jt2d, kpt2d = _jt2d, _kpt2d
+
+        # 3D rotation consistency + FK translation fix (dexycb6.py:368-387)
+        jt3d = jt3d @ R3.T
+        global_rot = _mat_to_aa(R3 @ _aa_to_mat(global_rot))
+        gt_hand_vert, _jt3d = get_hand_vert(aa_flat, beta, global_rot, transl, is_right)
+        corr = jt3d[0] - _jt3d[0]
+        transl = transl + corr
+        gt_hand_vert = gt_hand_vert + corr
+        obj_rt = obj_rt.copy()
+        obj_rt[:3, :3] = R3 @ obj_rt[:3, :3]
+        obj_rt[:3, 3] = R3 @ obj_rt[:3, 3]
+        gravity = gravity @ R3.T
+        obj_com = obj_com @ R3.T
+
+        if self.is_train:
+            patch = self.augmentor.run_color(patch, rng)
+
+        # left-hand flip protocol (dexycb6.py:394-431)
+        gt_hand_vert_flip = gt_hand_vert.copy()
+        gt_jt3d_flip = jt3d.copy()
+        K_crop_flip = K_crop.copy()
+        if not is_right:
+            patch = patch[:, ::-1].copy()
+            jt2d = jt2d.copy()
+            jt2d[:, 0] = patch.shape[1] - jt2d[:, 0]
+            gt_jt3d_flip[:, 0] *= -1
+            gt_hand_vert_flip[:, 0] *= -1
+            kpt2d = kpt2d.copy()
+            kpt2d[:, 0] = patch.shape[1] - kpt2d[:, 0]
+            for b in (bbox_hand, bbox_obj, bbox_hand_rect, bbox_obj_rect):
+                b[[0, 2]] = patch.shape[1] - b[[2, 0]]
+            aa = aa_mean.reshape(-1, 3).copy()
+            aa[:, 1:] *= -1
+            aa_mean = aa.reshape(-1)
+            global_rot = global_rot.copy()
+            global_rot[1:] *= -1
+            transl = transl.copy()
+            transl[0] *= -1
+            K_crop_flip[0, 2] = patch.shape[1] - K_crop_flip[0, 2]
+            aa_flat = aa_mean + np.asarray(self.mano_r.hands_mean)
+            _, _jt3d = get_hand_vert(aa_flat, beta, global_rot, transl, True)
+            transl = transl + (gt_jt3d_flip[0] - _jt3d[0])
+        _, _jt3d = get_hand_vert(aa_flat, beta, global_rot, transl, True)
+
+        root_flip = _jt3d[0].astype(np.float32)
+        gt_hand_vert_flip = gt_hand_vert_flip - gt_jt3d_flip[0]
+        gt_jt3d_flip = gt_jt3d_flip - gt_jt3d_flip[0]
+
+        # heatmaps (dexycb6.py:433-438): hand adaptive, obj square
+        hm_hand = np.asarray(adaptive_bbox_heatmap(
+            jnp.asarray(jt2d, jnp.float32)[None], jnp.asarray(bbox_hand, jnp.float32)[None],
+            self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma))[0]
+        hm_obj = np.asarray(square_bbox_heatmap(
+            jnp.asarray(kpt2d, jnp.float32)[None], jnp.asarray(bbox_obj_rect, jnp.float32)[None],
+            self.cfg.heatmap_size, self.cfg.heatmap_obj_sigma, is_right))[0]
+
+        rgb_norm = normalize_rgb(patch)
+        if self.is_train:
+            rgb_norm = self.augmentor.run_random_erasing(rgb_norm, rng)
+
+        # wrist-relative object pose; object never flipped (dexycb6.py:446-451)
+        root = jt3d[0].astype(np.float32)
+        rel_t = obj_rt[:3, 3] - root
+        gt_obj = np.concatenate([_mat_to_rot6d(obj_rt[:3, :3]), rel_t]).astype(np.float32)
+        mano_params = np.concatenate([global_rot, aa_flat, beta]).astype(np.float32)
+
+        return {
+            "index": np.int32(index),
+            "is_ho3d": False,
+            "rgb": rgb_norm.astype(np.float32),              # HWC (NHWC batch)
+            "root_joint": root,
+            "bbox_hand": bbox_hand.astype(np.float32),
+            "bbox_obj": bbox_obj.astype(np.float32),
+            "bbox_hand_rect": bbox_hand_rect.astype(np.float32),
+            "bbox_obj_rect": bbox_obj_rect.astype(np.float32),
+            "hm_hand": hm_hand.astype(np.float32),
+            "hm_obj": hm_obj.astype(np.float32),
+            "is_right": bool(is_right),
+            "gt_obj": gt_obj,
+            "gt_obj_rt": obj_rt[:3].astype(np.float32),      # camera frame
+            "gt_mano": mano_params,
+            "gt_joint": jt3d.astype(np.float32),
+            "gt_hand_vert": gt_hand_vert.astype(np.float32),
+            "gt_hand_jt3d_flip": gt_jt3d_flip.astype(np.float32),
+            "gt_hand_vert_flip": gt_hand_vert_flip.astype(np.float32),
+            "root_joint_flip": root_flip,
+            "obj_id": np.int32(obj_id),
+            "cam_intr": K,
+            "cam_intr_crop": K_crop.astype(np.float32),
+            "cam_intr_crop_flip": K_crop_flip.astype(np.float32),
+            "gravity": gravity.astype(np.float32),           # (1, 3)
+            "obj_CoM": (obj_com - root)[None].astype(np.float32),
+            "is_grasped": np.float32(is_grasped),
+            "force_contact": force_contact.astype(np.float32),
+            "force_local": force_local,
+        }
+
+    def _augmentation_rotmat(self, center_jit, scale_factor, rot, jt2d, kpt2d, K):
+        """base.py:522-574: joint 2D affine + matching 3D optical-axis rot."""
+        P = self.cfg.patch_size
+        bh = rectangularize(expand_bbox(pt2d_to_bbox(jt2d)))
+        bo = rectangularize(expand_bbox(pt2d_to_bbox(kpt2d)))
+        center = np.concatenate([bh, bo]).reshape(-1, 2).mean(0)
+
+        R3 = np.array([[np.cos(rot), -np.sin(rot), 0],
+                       [np.sin(rot), np.cos(rot), 0],
+                       [0, 0, 1]])
+        all_pts = np.concatenate([jt2d, kpt2d], axis=0)
+        radius = np.linalg.norm(all_pts - center, axis=-1).max()
+        center = center + center_jit * radius
+        radius = radius * self.cfg.bbox_scale_factor * scale_factor
+        scale = P / (radius * 2)
+        center_rot = center @ R3[:2, :2].T * scale
+        t = np.array([P // 2, P // 2]) + 0.5 - center_rot
+        A2 = np.array([[scale, 0, t[0]], [0, scale, t[1]], [0, 0, 1]]) @ R3
+
+        crot = (center - K[:2, 2]) @ R3[:2, :2].T * scale
+        t2 = np.array([P // 2, P // 2]) + 0.5 - crot
+        K_crop = K.copy()
+        K_crop[:2] *= scale
+        K_crop[:2, 2] = t2
+        return R3, A2, K_crop
+
+
+def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        out[k] = np.stack([np.asarray(v) for v in vals], axis=0)
+    return out
+
+
+def make_loader(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
+                subsample: int = 1, num_batches: int | None = None,
+                num_workers: int = 8, with_eval_keys: bool = False) -> Iterator[Dict]:
+    """Threaded prefetching loader (cv2 releases the GIL on decode/warp)."""
+    idx = np.arange(0, len(dataset), subsample)
+    if shuffle:
+        np.random.RandomState(seed).shuffle(idx)
+    n = len(idx) // batch_size if num_batches is None else num_batches
+
+    def build(bi):
+        items = [dataset[int(i)] for i in idx[bi * batch_size:(bi + 1) * batch_size]]
+        batch = collate(items)
+        if with_eval_keys:
+            # camera-frame GT for metrics comes straight from annotations
+            pass
+        return batch
+
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        futures = [ex.submit(build, bi) for bi in range(min(n, 4))]
+        next_bi = min(n, 4)
+        for _ in range(n):
+            batch = futures.pop(0).result()
+            if next_bi < n:
+                futures.append(ex.submit(build, next_bi))
+                next_bi += 1
+            yield batch

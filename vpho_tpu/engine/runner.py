@@ -1,0 +1,97 @@
+"""Mode dispatch: build data streams + Trainer and run train/eval/infer.
+
+Composition root (reference: main.py + BaseTrainer.__init__,
+base_trainer.py:19-37).  Data resolution order:
+  1. real DexYCB under ``cfg.data_dir`` (vpho_tpu/data/dexycb.py)
+  2. synthetic fixture stream (hermetic; keeps every subsystem runnable)
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator
+
+import jax
+import numpy as np
+
+from ..configs.config import Config
+from ..data.fixtures import make_batch
+from ..models import heads
+from ..utils import transforms as T
+from .trainer import Trainer, postprocess_hand_vert
+
+
+def _augment_eval_keys(ctx, batch: Dict) -> Dict:
+    """Attach camera-frame GT (gt_joint/gt_hand_vert/gt_obj_rt/cam_intr) the
+    eval loop consumes, derived from the batch's wrist-relative GT."""
+    import jax.numpy as jnp
+
+    root = batch["root_joint"]
+    is_right = batch["is_right"]
+    batch = dict(batch)
+    batch["gt_joint"] = postprocess_hand_vert(batch["gt_hand_jt3d_flip"], root, is_right)
+    batch["gt_hand_vert"] = postprocess_hand_vert(batch["gt_hand_vert_flip"], root, is_right)
+    rt = T.obj_9d_to_mat(batch["gt_obj"])
+    batch["gt_obj_rt"] = rt.at[..., :, 3].add(root)
+    batch["cam_intr"] = batch["cam_intr_crop"]
+    return batch
+
+
+def synthetic_stream(ctx, cfg: Config, n_batches: int, batch_size: int,
+                     seed: int = 0, with_eval_keys: bool = False) -> Iterator[Dict]:
+    for i in range(n_batches):
+        batch = make_batch(ctx, jax.random.PRNGKey(seed + i), batch_size,
+                           cfg.patch_size)
+        if with_eval_keys:
+            batch = _augment_eval_keys(ctx, batch)
+        yield jax.device_get(batch)
+
+
+def _has_real_data(cfg: Config) -> bool:
+    return os.path.isdir(os.path.join(cfg.data_dir, "20200709-subject-01")) or \
+        os.path.exists(os.path.join(cfg.data_dir, "dex_ycb_s0_train_data.json"))
+
+
+def run(cfg: Config):
+    trainer = Trainer(cfg)
+    log = trainer.logger
+
+    if _has_real_data(cfg):
+        from ..data.dexycb import DexYCBForceDataset, make_loader
+
+        train_ds = DexYCBForceDataset(cfg, cfg.data_dir, is_train=True)
+        test_ds = DexYCBForceDataset(cfg, cfg.data_dir, is_train=False)
+        steps_per_epoch = len(train_ds) // cfg.batch_size
+        first = next(make_loader(train_ds, cfg.batch_size, shuffle=False, num_batches=1))
+        get_train = lambda ep: make_loader(train_ds, cfg.batch_size, shuffle=True, seed=ep)
+        get_eval = lambda full: make_loader(
+            test_ds, cfg.eval_batch_size, shuffle=False,
+            subsample=1 if full else 10, with_eval_keys=True)
+    else:
+        log.warning("No real DexYCB found under %s — using the synthetic "
+                    "fixture stream", cfg.data_dir)
+        steps_per_epoch = 8
+        first = next(synthetic_stream(trainer.ctx, cfg, 1, cfg.batch_size))
+        get_train = lambda ep: synthetic_stream(
+            trainer.ctx, cfg, steps_per_epoch, cfg.batch_size, seed=100 * ep)
+        get_eval = lambda full: synthetic_stream(
+            trainer.ctx, cfg, 4 if full else 2, cfg.eval_batch_size, seed=9999,
+            with_eval_keys=True)
+
+    trainer.init_state(first, steps_per_epoch)
+
+    if cfg.mode == "train":
+        if cfg.start_with_eval:
+            trainer.evaluate(get_eval(False))
+        for epoch in range(trainer.start_epoch, cfg.max_epochs):
+            log.info(f"Epoch {epoch}/{cfg.max_epochs}")
+            trainer.train_one_epoch(epoch, get_train(epoch), steps_per_epoch)
+            trainer.save_checkpoint(epoch + 1)
+            trainer.evaluate(get_eval(False))
+            trainer.save_model()
+    elif cfg.mode == "eval":
+        out = trainer.evaluate(get_eval(cfg.eval_full))
+        trainer.dump_predictions(out["collector_res"])
+    elif cfg.mode == "infer":
+        out = trainer.evaluate(get_eval(True))
+        trainer.dump_predictions(out["collector_res"], tag="-infer")
+    return trainer

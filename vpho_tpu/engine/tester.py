@@ -1,0 +1,122 @@
+"""TesterHand / TesterObject: metric aggregation + report formatting.
+
+Host-side wrappers around the batched device criteria in ``metrics.py``,
+reproducing the reference's report structure (lib/engine/test.py):
+  * object: per-YCB-class breakdown skipping '051_large_clamp'
+    (test.py:302-319), 'average_instance'/'average_class' reductions and the
+    truncating mm/percent formatting (test.py:522-582)
+  * hand: right/left/both splits + per-joint MJE breakdown (test.py:585-655)
+"""
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.ycb import YCBRegistry
+from . import metrics as M
+
+DIST_KEYS = ("MCE", "MCE2", "SMCE", "OCE", "ADD", "ADDS", "CD")
+RATE_KEYS = ("ADD01d", "ADDS01d", "REP5")
+
+
+class TesterHand:
+    """Accumulates per-batch hand criteria; reports mm tables."""
+
+    def __init__(self):
+        self._rows: list[dict] = []
+
+    def add_batch(self, gt_joint, pd_joint, gt_vert, pd_vert, is_right, valid=None):
+        out = M.hand_metrics(jnp.asarray(gt_joint), jnp.asarray(pd_joint),
+                             jnp.asarray(gt_vert), jnp.asarray(pd_vert))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["is_right"] = np.asarray(is_right)
+        if valid is not None:
+            out = {k: v[np.asarray(valid)] for k, v in out.items()}
+        self._rows.append(out)
+
+    def result(self) -> Dict[str, Dict[str, float]]:
+        if not self._rows:
+            return {}
+        cat = {k: np.concatenate([r[k] for r in self._rows]) for k in self._rows[0]}
+        is_right = cat.pop("is_right").astype(bool)
+        res: Dict[str, Dict[str, float]] = {}
+        splits = {"right": is_right, "left": ~is_right,
+                  "both": np.ones_like(is_right)}
+        for key in ("MJE", "PA_MJE", "MVE", "PAMVE"):
+            res[key] = {s: float(cat[key][m].mean()) if m.any() else float("nan")
+                        for s, m in splits.items()}
+        for j in range(21):
+            res[f"MJE_{j}"] = {
+                s: float(cat["JE"][m][:, j].mean()) if m.any() else float("nan")
+                for s, m in splits.items()
+            }
+        return res
+
+    def report_mm(self) -> Dict[str, Dict[str, str]]:
+        return {k: {s: f"{1000 * v:.2f}" for s, v in d.items()}
+                for k, d in self.result().items()}
+
+
+class TesterObject:
+    """Accumulates per-batch object criteria; per-class + average reports."""
+
+    def __init__(self, registry: YCBRegistry):
+        self.registry = registry
+        self._rows: list[dict] = []
+
+    def add_batch(self, pd_rt, gt_rt, obj_ids, cam_intr, valid=None):
+        out = M.object_metrics(self.registry, jnp.asarray(pd_rt), jnp.asarray(gt_rt),
+                               jnp.asarray(obj_ids), jnp.asarray(cam_intr))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        out["obj_id"] = np.asarray(obj_ids)
+        if valid is not None:
+            out = {k: v[np.asarray(valid)] for k, v in out.items()}
+        self._rows.append(out)
+
+    def result(self) -> Dict[str, Dict[str, float]]:
+        if not self._rows:
+            return {}
+        cat = {k: np.concatenate([r[k] for r in self._rows]) for k in self._rows[0]}
+        obj_id = cat.pop("obj_id")
+        names = self.registry.names
+        res: Dict[str, Dict[str, float]] = {}
+        for key, vals in cat.items():
+            per = {}
+            class_vals = []
+            for i, name in enumerate(names):
+                if name == "051_large_clamp":  # excluded per test.py:303-304
+                    continue
+                sel = obj_id == i
+                if sel.any():
+                    per[name] = float(vals[sel].mean())
+                    class_vals.append(vals[sel])
+            if class_vals:
+                allv = np.concatenate(class_vals)
+                per["average_class"] = float(allv.mean())
+                per["average_instance"] = float(allv.mean())
+            else:
+                per["average_class"] = per["average_instance"] = float("nan")
+            res[key] = per
+        return res
+
+    def report(self) -> Dict[str, Dict[str, float]]:
+        """Truncating format of test.py:569-582: distances mm, rates percent."""
+        out = {}
+        for key, per in self.result().items():
+            fmt = {}
+            for name, v in per.items():
+                if not np.isfinite(v):
+                    fmt[name] = v
+                elif key in DIST_KEYS:
+                    fmt[name] = int(v * 100000) / 100          # m -> mm, trunc
+                elif key in RATE_KEYS or key.startswith("FSCORE@"):
+                    fmt[name] = int(v * 10000) / 100           # -> percent
+                elif key == "REP":
+                    fmt[name] = int(v * 100) / 100             # pixels
+                else:
+                    fmt[name] = v
+            out[key] = fmt
+        return out

@@ -1,0 +1,482 @@
+"""Multi-hypothesis cue aggregation (hand cascade + object physics ranking).
+
+Functional JAX rewrite of lib/model/aggregation.py.  The reference freely
+in-place-mutates candidate tensors and loops per-sample to bound GPU memory
+(``cdist_memory_save``/``nn_for_r_memory_save``, aggregation.py:1115-1158);
+here every stage is a pure batched function — candidate bookkeeping goes
+through ``.at[]`` / ``where`` and the (B, n_cand, 32, 2048) distance tensors
+are computed as one batched matmul-based cdist (they fit comfortably in HBM).
+
+Key structures kept bit-compatible with the reference:
+  * cascade levels over MANO_PARAMS_LEVEL / MANO_JOINT_LEVEL with the
+    observe-downstream-joints trick (aggregation.py:134-157)
+  * regression pose injected as extra candidates, with its wrist params
+    overwritten by the diffusion wrists at level 0 (:120-143)
+  * eigh quaternion averaging of top-k candidates, optionally heat-weighted
+  * object: trans top-k -> rot top-k -> k x k cross-product candidates ->
+    physics3/heatmap re-ranking switched per-sample by is_grasped (:1199-1287)
+  * final per-finger physics re-rank of hand distal/tip levels (:537-626)
+
+Deliberate fixes (documented deviations):
+  * HandAggregator.select_by_physics queries nearest object vertices with the
+    normalized force DIRECTIONS (aggregation.py:571) — we use the force
+    POINTS as in the object ranker (:977), which is the clear intent.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import transforms as T
+from ..utils.hand import MANO_JOINT_LEVEL, MANO_PARAMS_LEVEL
+from ..ops.image import sample_points
+from . import anchor as anchor_lib
+from . import heads
+from .mano import MANOModel, hand_verts_meters
+from .ycb import YCBRegistry
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def normalize_pt2d_to_bbox(pt2d: Array, bbox: Array) -> Array:
+    """Project image-plane points into [-1, 1] bbox-normalized coords.
+
+    pt2d: (B, ..., 2); bbox: (B, 4) xyxy.  (aggregation.py:202-204)
+    """
+    b = bbox.reshape(bbox.shape[0], *([1] * (pt2d.ndim - 2)), 4)
+    return 2.0 * (pt2d - b[..., :2]) / (b[..., 2:] - b[..., :2]) - 1.0
+
+
+def heat_values(heatmap: Array, pt2d_norm: Array, observe_index: Sequence[int]) -> Array:
+    """Bicubic heat lookup for a subset of joints.
+
+    heatmap: (B, J, H, W); pt2d_norm: (B, N, J, 2) -> (B, N, m).
+    """
+    obs = jnp.asarray(list(observe_index))
+    hm = jnp.take(heatmap, obs, axis=1)
+    pts = jnp.take(pt2d_norm, obs, axis=2)
+    return sample_points(hm, pts, mode="bicubic", align_corners=False)
+
+
+def batched_min_dist(x: Array, y: Array) -> Array:
+    """min_j ||x_i - y_j||: x (..., n, 3), y (..., m, 3) -> (..., n).
+
+    Replaces cdist_memory_save (aggregation.py:1115-1125) with one fused
+    matmul-based distance (|x|^2 + |y|^2 - 2xy) — MXU-friendly.
+    """
+    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
+    y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+    xy = jnp.einsum("...nd,...md->...nm", x, y)
+    d2 = jnp.maximum(x2 + y2 - 2.0 * xy, 0.0)
+    return jnp.sqrt(jnp.min(d2, axis=-1))
+
+
+def nearest_points(x: Array, y: Array) -> Array:
+    """For each x, the nearest point in y: x (..., n, 3), y (..., m, 3) ->
+    (..., n, 3).  (nn_for_r_memory_save, aggregation.py:1128-1158)."""
+    x2 = jnp.sum(x * x, axis=-1)[..., :, None]
+    y2 = jnp.sum(y * y, axis=-1)[..., None, :]
+    xy = jnp.einsum("...nd,...md->...nm", x, y)
+    idx = jnp.argmin(x2 + y2 - 2.0 * xy, axis=-1)               # (..., n)
+    return jnp.take_along_axis(y, idx[..., None].repeat(3, -1), axis=-2)
+
+
+def take_candidates(x: Array, idx: Array) -> Array:
+    """x: (B, N, ...), idx: (B, K) -> (B, K, ...)."""
+    extra = x.ndim - 2
+    idxe = idx.reshape(idx.shape + (1,) * extra)
+    return jnp.take_along_axis(x, jnp.broadcast_to(idxe, idx.shape + x.shape[2:]), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# hand aggregation
+# ---------------------------------------------------------------------------
+
+
+class HandLevelData(NamedTuple):
+    val: Array
+    topk: Array
+    fused_idx_pose: Array
+    topk_idx_pose_aa: Array
+    fused_pose: Array
+
+
+def select_topk_hand_level(
+    mano: MANOModel,
+    pose: Array,            # (B, N, 48)
+    shape: Array,           # (B, N, 10)
+    root_joint: Array,      # (B, 3)
+    cam_intrinsic: Array,   # (B, 3, 3)
+    heatmap: Array,         # (B, 21, H, W)
+    bbox: Array,            # (B, 4)
+    k: int,
+    fuse_index: Sequence[int],
+    observe_index: Sequence[int],
+    is_independent: bool,
+    is_weight: bool,
+) -> HandLevelData:
+    """One cascade level (select_topk_hand_by_observed_heatmap_and_fuse_by_index,
+    aggregation.py:180-284)."""
+    B, N = pose.shape[:2]
+    K = k
+    vert, joint = hand_verts_meters(mano, pose, shape)          # (B, N, 778/21, 3)
+    joint_cam = joint + root_joint[:, None, None]
+    pt2d = T.project_points_batched(joint_cam, cam_intrinsic)
+    pt2d = normalize_pt2d_to_bbox(pt2d, bbox)
+    hv = heat_values(heatmap, pt2d, observe_index)              # (B, N, m)
+
+    fuse_idx = jnp.asarray(list(fuse_index))
+    if not is_independent:
+        score = hv.sum(-1)                                       # (B, N)
+        val, topk = jax.lax.top_k(score, K)
+        weight = (val + 1e-8) / (val.sum(1, keepdims=True) + 1e-8)
+        topk_pose = take_candidates(pose, topk)                  # (B, K, 48)
+        topk_idx_pose_aa = topk_pose[:, :, fuse_idx].reshape(B, K, -1, 3)
+        quat = T.axis_angle_to_quaternion(topk_idx_pose_aa)      # (B, K, n, 4)
+        quat = jnp.swapaxes(quat, 1, 2)                          # (B, n, K, 4)
+        fused_quat = T.average_quaternion(quat, weight[:, None] if is_weight else None)
+        fused_aa = T.quaternion_to_axis_angle(fused_quat).reshape(B, -1)
+    else:
+        n = len(fuse_index) // 3                                 # joints fused
+        m = len(observe_index)
+        n_obs = m // n
+        score = hv.reshape(B, N, n_obs, n).mean(-2)              # (B, N, n)
+        val, topk = jax.lax.top_k(jnp.swapaxes(score, 1, 2), K)  # (B, n, K)
+        val, topk = jnp.swapaxes(val, 1, 2), jnp.swapaxes(topk, 1, 2)  # (B, K, n)
+        weight = (val + 1e-8) / (val.sum(1, keepdims=True) + 1e-8)
+        weight = jnp.transpose(weight, (0, 2, 1))                # (B, n, K)
+        pose_j = pose.reshape(B, N, 16, 3)
+        joint_of_param = fuse_idx.reshape(-1, 3)[:, 0] // 3      # (n,)
+        # gather pose_j[b, topk[b, k, j], joint_of_param[j]]
+        topk_pose = pose_j[
+            jnp.arange(B)[:, None, None], topk, joint_of_param[None, None, :]
+        ]                                                        # (B, K, n, 3)
+        topk_idx_pose_aa = topk_pose
+        quat = T.axis_angle_to_quaternion(topk_pose)
+        quat = jnp.swapaxes(quat, 1, 2)                          # (B, n, K, 4)
+        fused_quat = T.average_quaternion(quat, weight if is_weight else None)
+        fused_aa = T.quaternion_to_axis_angle(fused_quat).reshape(B, -1)
+
+    fused_pose = pose.at[:, :, fuse_idx].set(
+        jnp.broadcast_to(fused_aa[:, None], (B, N, len(fuse_index)))
+    )
+    return HandLevelData(val, topk, fused_aa, topk_idx_pose_aa, fused_pose)
+
+
+def hand_heatmap_cascade(
+    mano: MANOModel,
+    pose: Array,             # (B, S, 48) diffusion candidates
+    pose_regression: Array,  # (B, 48)
+    shape: Array,            # (B, S, 10)
+    root_joint: Array,
+    cam_intrinsic: Array,
+    heatmap: Array,
+    bbox: Array,
+    k: int,
+    is_weight: bool = True,
+    use_regression_as_candidate: bool = True,
+) -> Dict[str, Array]:
+    """4-level wrist->tip cascade (select_by_heatmap_cascade, :115-178)."""
+    B, S = pose.shape[:2]
+    if use_regression_as_candidate:
+        extra = jnp.broadcast_to(pose_regression[:, None], (B, S, 48))
+        pose = jnp.concatenate([pose, extra], axis=1)            # (B, 2S, 48)
+        shape = jnp.concatenate([shape, shape], axis=1)
+
+    levels: list[HandLevelData] = []
+    for level_i in range(4):
+        fuse_idx = MANO_PARAMS_LEVEL[level_i]
+        observe_idx: list[int] = []
+        for j in range(level_i + 1, 5):
+            observe_idx.extend(MANO_JOINT_LEVEL[j])
+        if use_regression_as_candidate and level_i == 0:
+            # regression copies take the diffusion wrists (:140-143)
+            fuse = jnp.asarray(fuse_idx)
+            pose = pose.at[:, S:, fuse].set(pose[:, :S, fuse])
+        data = select_topk_hand_level(
+            mano, pose, shape, root_joint, cam_intrinsic, heatmap, bbox, k,
+            fuse_idx, observe_idx, is_independent=level_i != 0, is_weight=is_weight,
+        )
+        pose = data.fused_pose
+        levels.append(data)
+
+    fused_pose = levels[-1].fused_pose[:, 0]                     # (B, 48)
+    shape0 = shape[:, 0]
+    fused_mano = jnp.concatenate([fused_pose, shape0], axis=-1)
+    fused_vert, fused_joint = hand_verts_meters(mano, fused_pose, shape0)
+    return {
+        "agg_hand_mano": fused_mano,
+        "agg_vert": fused_vert,
+        "agg_joint": fused_joint,
+        "middle_data": levels,
+    }
+
+
+def hand_average_all(mano: MANOModel, pose: Array, shape: Array) -> Dict[str, Array]:
+    """Quaternion-mean over all candidates (average_all, :379-424)."""
+    B, S = pose.shape[:2]
+    pose_aa = pose.reshape(B, S, 16, 3)
+    quat = T.axis_angle_to_quaternion(pose_aa)
+    quat = jnp.swapaxes(quat, 1, 2)
+    fused = T.quaternion_to_axis_angle(T.average_quaternion(quat)).reshape(B, 48)
+    shape0 = shape.reshape(B, -1, 10)[:, 0]
+    vert, joint = hand_verts_meters(mano, fused, shape0)
+    return {
+        "agg_hand_mano": jnp.concatenate([fused, shape0], -1),
+        "agg_vert": vert,
+        "agg_joint": joint,
+    }
+
+
+def hand_physics_rerank(
+    mano: MANOModel,
+    tables: anchor_lib.ForceAnchorTables,
+    pose: Array,            # (B, C, 58) candidates
+    root_joint_flip: Array, # (B, 3)
+    obj_vert: Array,        # (B, V, 3) fused object surface (camera frame)
+    obj_com: Array,         # (B, 1, 3)
+    force_local: Array,     # (B, 32, 3)
+    k: int,
+) -> Dict[str, Array]:
+    """Per-finger physics re-rank of distal/tip params (select_by_physics,
+    aggregation.py:537-626)."""
+    B, C = pose.shape[:2]
+    vert, joint = hand_verts_meters(mano, pose[..., :48], pose[..., 48:])
+    vert_cam = vert + root_joint_flip[:, None, None]             # (B, C, 778, 3)
+    fl = jnp.broadcast_to(force_local[:, None], (B, C, 32, 3))
+    force_point, force_global = anchor_lib.force_local_to_global(
+        tables, fl, vert_cam
+    )                                                            # (B, C, 32, 3)
+    force_norm = jnp.linalg.norm(force_global, axis=-1)          # (B, C, 32)
+    force_weight = force_norm / (force_norm.sum(-1, keepdims=True) + 1e-12)
+
+    # distance of each anchor point to the object surface
+    dist = batched_min_dist(force_point, obj_vert[:, None])      # (B, C, 32)
+    score = force_weight * dist
+
+    force_dir = force_global / (force_norm[..., None] + 1e-12)
+    # NOTE: the reference also computes a torque term L here (:571-577) but
+    # never uses it in the final score (:581) — we skip the dead compute.
+    I = jnp.linalg.norm(force_dir.sum(-2), axis=-1)              # (B, C)
+    score = -(score * I[..., None])                              # (B, C, 32)
+
+    finger_levels = [
+        [1, 2, 3, 4], [8, 9, 10, 11], [14, 15, 16, 17], [21, 22, 23, 24], [28, 29, 30, 31]
+    ]
+    fuse_pose = pose[:, 0]
+    for f, anchors in enumerate(finger_levels):
+        fscore = score[:, :, jnp.asarray(anchors)].sum(-1)       # (B, C)
+        _, topk = jax.lax.top_k(fscore, k)
+        fuse_idx = jnp.asarray(
+            MANO_PARAMS_LEVEL[2][3 * f : 3 * f + 3] + MANO_PARAMS_LEVEL[3][3 * f : 3 * f + 3]
+        )
+        sel = take_candidates(pose[..., :48], topk)[:, :, fuse_idx]  # (B, K, 6)
+        sel_aa = sel.reshape(B, k, 2, 3)
+        quat = jnp.swapaxes(T.axis_angle_to_quaternion(sel_aa), 1, 2)  # (B, 2, K, 4)
+        fused = T.quaternion_to_axis_angle(T.average_quaternion(quat)).reshape(B, 6)
+        fuse_pose = fuse_pose.at[:, fuse_idx].set(fused)
+
+    fuse_vert, fuse_joint = hand_verts_meters(mano, fuse_pose[:, :48], fuse_pose[:, 48:])
+    return {"agg_pose": fuse_pose, "agg_vert": fuse_vert, "agg_joint": fuse_joint}
+
+
+# ---------------------------------------------------------------------------
+# object aggregation
+# ---------------------------------------------------------------------------
+
+
+def obj_topk_by_heatmap(
+    registry: YCBRegistry,
+    pose6d: Array,          # (B, N, 9), wrist-relative translation
+    root_joint: Array,      # (B, 3)
+    obj_ids: Array,         # (B,)
+    is_right: Array,        # (B,) bool
+    cam_intrinsic: Array,
+    heatmap: Array,         # (B, 27, H, W)
+    bbox: Array,
+    k: int,
+) -> tuple[Array, Array]:
+    """(select_topk_object_by_heatmap, aggregation.py:742-780)."""
+    pose_cam = pose6d.at[..., 6:].add(root_joint[:, None])
+    pt3d = heads.object_transform(registry, pose_cam, obj_ids, "keypoint")
+    pt3d = heads.flip_pt3d(pt3d, is_right)
+    pt2d = T.project_points_batched(pt3d, cam_intrinsic)
+    pt2d = normalize_pt2d_to_bbox(pt2d, bbox)
+    hv = sample_points(heatmap, pt2d, mode="bicubic").sum(-1)    # (B, N)
+    val, topk = jax.lax.top_k(hv, k)
+    weight = (val + 1e-8) / (val.sum(1, keepdims=True) + 1e-8)
+    return topk, weight
+
+
+def obj_fuse_topk(pose6d: Array, topk: Array, weight: Array | None = None) -> Array:
+    """Weighted trans mean + eigh-averaged rotation (fuse_topk, :729-740)."""
+    sel = take_candidates(pose6d, topk)                          # (B, K, 9)
+    if weight is None:
+        trans = sel[..., 6:].mean(1)
+    else:
+        trans = (sel[..., 6:] * weight[..., None]).sum(1)
+    rot = T.average_rot6d(sel[..., :6], weight)
+    return jnp.concatenate([rot, trans], axis=-1)
+
+
+def obj_topk_by_physics3(
+    registry: YCBRegistry,
+    pose6d: Array,          # (B, N, 9)
+    root_joint: Array,
+    obj_ids: Array,
+    is_right: Array,
+    force_point: Array,     # (B, 32, 3)
+    force_global: Array,    # (B, 32, 3)
+    k: int,
+) -> tuple[Array, Array]:
+    """Weighted force-point-to-surface distance x net-moment ranking
+    (select_topk_object_by_physics3, aggregation.py:947-997)."""
+    pose_cam = pose6d.at[..., 6:].add(root_joint[:, None])
+    obj_verts = heads.object_transform(registry, pose_cam, obj_ids, "verts")
+    obj_verts = heads.flip_pt3d(obj_verts, is_right)             # (B, N, 2048, 3)
+    obj_com = heads.object_transform(registry, pose_cam, obj_ids, "CoM")
+    obj_com = heads.flip_pt3d(obj_com, is_right)                 # (B, N, 1, 3)
+
+    fnorm = jnp.linalg.norm(force_global, axis=-1)               # (B, 32)
+    fweight = fnorm / (fnorm.sum(-1, keepdims=True) + 1e-12)
+
+    fp = force_point[:, None]                                    # (B, 1, 32, 3)
+    dist = batched_min_dist(fp, obj_verts)                       # (B, N, 32)
+    score = (dist * fweight[:, None]).sum(-1)                    # (B, N)
+
+    fdir = force_global / (fnorm[..., None] + 1e-12)
+    r = nearest_points(jnp.broadcast_to(fp, obj_verts.shape[:2] + (32, 3)), obj_verts)
+    r = r - obj_com                                              # (B, N, 32, 3)
+    L = jnp.linalg.norm(jnp.cross(fdir[:, None], r).sum(-2), axis=-1)  # (B, N)
+    score = -(score * L)
+    val, topk = jax.lax.top_k(score, k)
+    weight = jnp.ones_like(val) / k                              # :995-996
+    return topk, weight
+
+
+# ---------------------------------------------------------------------------
+# full HOI orchestration (HOI_Aggregator, aggregation.py:1160-1353)
+# ---------------------------------------------------------------------------
+
+
+def hoi_aggregate(
+    mano: MANOModel,
+    registry: YCBRegistry,
+    tables: anchor_lib.ForceAnchorTables,
+    *,
+    cam_intrinsic: Array,
+    root_joint_flip: Array,
+    root_joint: Array,
+    is_right: Array,
+    force_local: Array,
+    is_grasped: Array,
+    hand_pose_diff: Array,      # (B, S, 48)
+    hand_pose_regression: Array,
+    hand_shape: Array,          # (B, S, 10)
+    hand_heatmap: Array,
+    hand_bbox: Array,
+    hand_topk: int,
+    obj_pose6d: Array,          # (B, S, 9)
+    obj_heatmap: Array,
+    obj_bbox: Array,
+    obj_topk: int,
+    obj_ids: Array,
+    phy_topk: int = 5,
+) -> Dict[str, Array]:
+    B = root_joint.shape[0]
+
+    # 1. hand heatmap cascade
+    hand_sel = hand_heatmap_cascade(
+        mano, hand_pose_diff, hand_pose_regression, hand_shape,
+        root_joint_flip, cam_intrinsic, hand_heatmap, hand_bbox, hand_topk,
+        is_weight=True, use_regression_as_candidate=True,
+    )
+    agg_hand_mano = hand_sel["agg_hand_mano"]
+    hand_vert_cam = hand_sel["agg_vert"] + root_joint_flip[:, None]
+    force_point, force_global = anchor_lib.force_local_to_global(
+        tables, force_local, hand_vert_cam
+    )
+
+    # 2. object translation top-k by heatmap
+    transl_topk, transl_weight = obj_topk_by_heatmap(
+        registry, obj_pose6d, root_joint, obj_ids, is_right,
+        cam_intrinsic, obj_heatmap, obj_bbox, obj_topk,
+    )
+    fused = obj_fuse_topk(obj_pose6d, transl_topk, transl_weight)
+    fused_trans = fused[:, 6:]
+
+    # 3. rotation top-k with the fused translation substituted
+    updated = obj_pose6d.at[..., 6:].set(fused_trans[:, None])
+    rot_topk, _ = obj_topk_by_heatmap(
+        registry, updated, root_joint, obj_ids, is_right,
+        cam_intrinsic, obj_heatmap, obj_bbox, obj_topk,
+    )
+
+    # 4. k x k cross-product candidates, physics vs heatmap re-rank
+    cand_transl = take_candidates(obj_pose6d, transl_topk)[..., 6:]  # (B, k, 3)
+    cand_rot = take_candidates(obj_pose6d, rot_topk)[..., :6]        # (B, k, 6)
+    k = obj_topk
+    cand = jnp.concatenate(
+        [
+            jnp.broadcast_to(cand_rot[:, None], (B, k, k, 6)),
+            jnp.broadcast_to(cand_transl[:, :, None], (B, k, k, 3)),
+        ],
+        axis=-1,
+    ).reshape(B, k * k, 9)
+
+    topk_phy, weight_phy = obj_topk_by_physics3(
+        registry, cand, root_joint, obj_ids, is_right, force_point, force_global, phy_topk
+    )
+    topk_hm, weight_hm = obj_topk_by_heatmap(
+        registry, cand, root_joint, obj_ids, is_right,
+        cam_intrinsic, obj_heatmap, obj_bbox, phy_topk,
+    )
+    grasped = is_grasped.astype(bool)[:, None]
+    new_topk = jnp.where(grasped, topk_phy, topk_hm)
+    new_weight = jnp.where(grasped, weight_phy, weight_hm)
+    obj_agg_6d = obj_fuse_topk(cand, new_topk, new_weight)
+
+    pose_cam = obj_agg_6d.at[..., 6:].add(root_joint)
+    obj_vert_fused = heads.object_transform(registry, pose_cam, obj_ids, "verts")
+    obj_vert_fused = heads.flip_pt3d(obj_vert_fused, is_right)
+    obj_com_fused = heads.object_transform(registry, pose_cam, obj_ids, "CoM")
+    obj_com_fused = heads.flip_pt3d(obj_com_fused, is_right)
+
+    # 5. per-finger physics re-rank over distal/tip level candidates
+    level4 = hand_sel["middle_data"][3].topk_idx_pose_aa[:, :hand_topk]  # (B, K, 5, 3)
+    agg_l3 = agg_hand_mano[:, jnp.asarray(MANO_PARAMS_LEVEL[2])].reshape(B, 1, 5, 3)
+    agg_l4 = agg_hand_mano[:, jnp.asarray(MANO_PARAMS_LEVEL[3])].reshape(B, 1, 5, 3)
+    level4 = jnp.concatenate([level4, agg_l4], axis=1)           # (B, K+1, 5, 3)
+    n_cand = hand_topk + 1
+    cand_param = jnp.concatenate(
+        [jnp.broadcast_to(agg_l3, (B, n_cand, 5, 3)), level4], axis=-2
+    )                                                            # (B, K+1, 10, 3)
+    new_pose = jnp.broadcast_to(agg_hand_mano[:, None, :48], (B, n_cand, 48))
+    new_pose = new_pose.at[:, :, jnp.asarray(MANO_PARAMS_LEVEL[2])].set(
+        cand_param[:, :, :5].reshape(B, n_cand, 15)
+    )
+    new_pose = new_pose.at[:, :, jnp.asarray(MANO_PARAMS_LEVEL[3])].set(
+        cand_param[:, :, 5:].reshape(B, n_cand, 15)
+    )
+    shape_rep = jnp.broadcast_to(agg_hand_mano[:, None, 48:], (B, n_cand, 10))
+    new_cand = jnp.concatenate([new_pose, shape_rep], axis=-1)   # (B, K+1, 58)
+
+    hand_final = hand_physics_rerank(
+        mano, tables, new_cand, root_joint_flip,
+        obj_vert_fused, obj_com_fused, force_local, phy_topk,
+    )
+
+    return {
+        "obj_agg_6d": obj_agg_6d,
+        "agg_obj_vert": obj_vert_fused,
+        "hand_agg_mano": hand_final["agg_pose"],
+        "hand_agg_vert": hand_final["agg_vert"],
+        "hand_agg_joint": hand_final["agg_joint"],
+    }

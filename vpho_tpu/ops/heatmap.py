@@ -1,0 +1,87 @@
+"""Vectorized Gaussian keypoint-heatmap synthesis.
+
+Replaces the reference's per-joint numpy stamping loops
+(``lib/utils/misc_fn.py:285-388`` HeatmapGenerator / AdaptiveHeatmapGenerator,
+HigherHRNet-derived) with one broadcasted exp over the full grid — a single
+fused VPU kernel per batch instead of Python-loop patch pasting.
+
+Semantics pinned to the reference:
+  * joint centers are INT-TRUNCATED to pixel coords before stamping
+    (misc_fn.py:307 ``int(pt[0])``)
+  * joints outside the map produce an all-zero channel
+  * values are zero outside the 6*sigma+3 stamp window around the center
+  * hand maps use the adaptive (aspect-preserving) mapping, object maps the
+    square max-side mapping (dexycb6.py:433-438)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gaussian_heatmap(pt2d_px: jax.Array, out_res: int, sigma: float) -> jax.Array:
+    """pt2d_px: (..., J, 2) pixel coords -> (..., J, out_res, out_res).
+
+    Matches HeatmapGenerator.__call__ (misc_fn.py:297-322): int-truncated
+    centers, window-limited gaussian, zeros for out-of-range joints.
+    """
+    x = jnp.floor(pt2d_px[..., 0])  # int() truncation for non-negative coords
+    y = jnp.floor(pt2d_px[..., 1])
+    in_range = (x >= 0) & (y >= 0) & (x < out_res) & (y < out_res)
+
+    grid = jnp.arange(out_res, dtype=pt2d_px.dtype)
+    dx = grid - x[..., None]                 # (..., J, W)
+    dy = grid - y[..., None]                 # (..., J, H)
+    win = 3.0 * sigma + 1.0
+    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win + 1.0)
+    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win + 1.0)
+    hm = gy[..., :, None] * gx[..., None, :]  # (..., J, H, W)
+    return hm * in_range[..., None, None]
+
+
+def square_bbox_heatmap(pt2d: jax.Array, bbox: jax.Array, out_res: int, sigma: float,
+                        is_right: bool | jax.Array = True) -> jax.Array:
+    """HeatmapGenerator.get_heatmap (misc_fn.py:324-330): scale by max side.
+
+    pt2d: (..., J, 2) image coords; bbox: (..., 4).  Left hands get the +1px
+    x shift of the reference (misc_fn.py:328).
+    """
+    wh = bbox[..., 2:] - bbox[..., :2]
+    max_wh = jnp.max(wh, axis=-1, keepdims=True)
+    pt_hm = (pt2d - bbox[..., None, :2]) / max_wh[..., None, :] * (out_res - 1)
+    shift = jnp.where(jnp.asarray(is_right), 0.0, 1.0)
+    pt_hm = pt_hm.at[..., 0].add(shift[..., None] if jnp.ndim(shift) else shift)
+    return gaussian_heatmap(pt_hm, out_res, sigma)
+
+
+def adaptive_bbox_heatmap(pt2d: jax.Array, bbox: jax.Array, out_res: int,
+                          sigma: float) -> jax.Array:
+    """AdaptiveHeatmapGenerator (misc_fn.py:333-385) without the host resize.
+
+    The reference stamps at the aspect-preserving resolution then cv2-resizes
+    to (out_res, out_res).  We evaluate the same Gaussian directly on the
+    final anisotropically-stretched grid — analytically the limit of that
+    stamp+resize pipeline (no interpolation blur), with per-axis scaling
+    sigma_x/sigma_y folded into the exponent.
+    """
+    wh = bbox[..., 2:] - bbox[..., :2]            # (..., 2)
+    max_l = jnp.max(wh, axis=-1, keepdims=True)
+    res = jnp.floor(out_res * wh / max_l)          # (..., 2) intermediate res
+    scale = res / wh                               # px per image unit
+    pt_hm = (pt2d - bbox[..., None, :2]) * scale[..., None, :]
+    # stretch: intermediate (res) -> final (out_res) per axis
+    stretch = res / out_res                        # (..., 2), <= 1
+    x = jnp.floor(pt_hm[..., 0]) / stretch[..., None, 0]
+    y = jnp.floor(pt_hm[..., 1]) / stretch[..., None, 1]
+    in_range = (
+        (pt_hm[..., 0] >= 0) & (pt_hm[..., 1] >= 0)
+        & (pt_hm[..., 0] < res[..., None, 0]) & (pt_hm[..., 1] < res[..., None, 1])
+    )
+    grid = jnp.arange(out_res, dtype=pt2d.dtype)
+    dx = (grid - x[..., None]) * stretch[..., None, 0:1]
+    dy = (grid - y[..., None]) * stretch[..., None, 1:2]
+    win = 3.0 * sigma + 1.0
+    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win + 1.0)
+    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win + 1.0)
+    hm = gy[..., :, None] * gx[..., None, :]
+    return hm * in_range[..., None, None]

@@ -1,0 +1,68 @@
+"""Device-mesh utilities: SPMD data parallelism over ICI.
+
+The reference's only multi-device strategy is single-node DDP via Accelerate/
+NCCL (SURVEY.md §2.10).  TPU-native equivalent: a 1-D ``data`` mesh with
+batch-sharded inputs and replicated params — XLA inserts the gradient
+all-reduce (psum) during jit; barriers/gather_for_metrics become free SPMD
+semantics + a host-side ``process_allgather`` for pickled metric objects on
+multi-host.
+
+Scaling axes beyond DP (tp/pp/sp/ep) are not required for parity (the model
+is ~70M params; max attention length is 65 tokens) but the mesh helper
+accepts extra axes so larger variants can shard the hypothesis dimension.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
+    """Device-put a host batch with the leading axis sharded over the mesh."""
+    sh = batch_sharding(mesh, axis_name)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sh = replicated(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def pad_batch_to(batch: Dict[str, Any], size: int):
+    """Pad the leading axis to ``size`` (repeat last element), with a mask.
+
+    Eval shards must divide the mesh size; the returned ``valid`` mask lets
+    metric reducers drop the padding (replaces torch's drop_last=False +
+    gather_for_metrics de-duplication).
+    """
+    import numpy as np
+
+    n = next(iter(batch.values())).shape[0]
+    valid = np.zeros((size,), bool)
+    valid[:n] = True
+    if n == size:
+        return batch, valid
+
+    def pad(x):
+        reps = np.concatenate([x, np.repeat(x[-1:], size - n, axis=0)], axis=0)
+        return reps
+
+    return {k: pad(np.asarray(v)) for k, v in batch.items()}, valid
