@@ -88,18 +88,17 @@ class TestHandCascade:
 
     def test_level0_selects_gt_candidate(self, mano):
         gt_pose, pose, shapes, root, K, hm, bbox = self._build(mano)
-        data = agg.select_topk_hand_level(
-            mano, pose, shapes, root, K, hm, bbox, k=1,
-            fuse_index=list(range(48)), observe_index=list(range(21)),
-            is_independent=False, is_weight=False,
-        )
+        fn = jax.jit(lambda *a: agg.select_topk_hand_level(
+            mano, *a, k=1, fuse_index=list(range(48)),
+            observe_index=list(range(21)), is_independent=False, is_weight=False))
+        data = fn(pose, shapes, root, K, hm, bbox)
         # top-1 must be candidate 0 (the GT) for every batch element
         np.testing.assert_array_equal(np.asarray(data.topk)[:, 0], 0)
 
     def test_cascade_improves_over_random_candidate(self, mano):
         gt_pose, pose, shapes, root, K, hm, bbox = self._build(mano, S=8)
-        out = agg.hand_heatmap_cascade(
-            mano, pose, pose[:, 3], shapes, root, K, hm, bbox, k=3)
+        fn = jax.jit(lambda *a: agg.hand_heatmap_cascade(mano, *a, k=3))
+        out = fn(pose, pose[:, 3], shapes, root, K, hm, bbox)
         _, gt_joint = hand_verts_meters(mano, gt_pose, shapes[:, 0])
         _, rnd_joint = hand_verts_meters(mano, pose[:, 4], shapes[:, 0])
         agg_err = float(jnp.linalg.norm(out["agg_joint"] - gt_joint, axis=-1).mean())
@@ -111,7 +110,7 @@ class TestHandCascade:
     def test_average_all(self, mano):
         pose = jax.random.normal(jax.random.PRNGKey(2), (2, 5, 48)) * 0.1
         shape = jnp.zeros((2, 5, 10))
-        out = agg.hand_average_all(mano, pose, shape)
+        out = jax.jit(lambda p, s: agg.hand_average_all(mano, p, s))(pose, shape)
         assert out["agg_vert"].shape == (2, 778, 3)
 
 
@@ -138,8 +137,8 @@ class TestObjectAggregation:
     def test_heatmap_topk_selects_gt(self, registry):
         ids, root, gt, cand, K, hm, bbox = self._build(registry)
         is_right = jnp.ones((2,), bool)
-        topk, weight = agg.obj_topk_by_heatmap(
-            registry, cand, root, ids, is_right, K, hm, bbox, k=1)
+        fn = jax.jit(lambda *a: agg.obj_topk_by_heatmap(registry, *a, k=1))
+        topk, weight = fn(cand, root, ids, is_right, K, hm, bbox)
         np.testing.assert_array_equal(np.asarray(topk)[:, 0], 0)
         np.testing.assert_allclose(np.asarray(weight).sum(1), 1.0, atol=1e-5)
 
@@ -173,8 +172,8 @@ class TestObjectAggregation:
             jnp.concatenate([rot[0], near_t[0]]),
             jnp.concatenate([rot[0], far_t[0]]),
         ])[None]
-        topk, _ = agg.obj_topk_by_physics3(
-            registry, cand, root, ids, jnp.ones((B,), bool), fp, fg, k=1)
+        fn = jax.jit(lambda *a: agg.obj_topk_by_physics3(registry, *a, k=1))
+        topk, _ = fn(cand, root, ids, jnp.ones((B,), bool), fp, fg)
         assert int(topk[0, 0]) == 0
 
 
@@ -186,8 +185,9 @@ class TestHOIAggregate:
         shape = jnp.zeros((B, S, 10))
         root = jnp.tile(jnp.array([0.0, 0.0, 0.5]), (B, 1))
         K = _camera(B)
-        out = agg.hoi_aggregate(
-            mano, registry, tables,
+        run = jax.jit(lambda kw: agg.hoi_aggregate(
+            mano, registry, tables, hand_topk=3, obj_topk=2, **kw))
+        out = run(dict(
             cam_intrinsic=K, root_joint_flip=root, root_joint=root,
             is_right=jnp.ones((B,), bool),
             force_local=jnp.ones((B, 32, 3)) * 0.02,
@@ -196,13 +196,11 @@ class TestHOIAggregate:
             hand_shape=shape,
             hand_heatmap=jnp.ones((B, 21, 64, 64)) * 0.1,
             hand_bbox=jnp.tile(jnp.array([10.0, 10, 110, 110]), (B, 1)),
-            hand_topk=3,
             obj_pose6d=jax.random.normal(jax.random.PRNGKey(8), (B, S, 9)) * 0.1,
             obj_heatmap=jnp.ones((B, 27, 64, 64)) * 0.1,
             obj_bbox=jnp.tile(jnp.array([10.0, 10, 110, 110]), (B, 1)),
-            obj_topk=2,
             obj_ids=jnp.array([0, 3]),
-        )
+        ))
         assert out["obj_agg_6d"].shape == (B, 9)
         assert out["hand_agg_mano"].shape == (B, 58)
         assert out["hand_agg_vert"].shape == (B, 778, 3)

@@ -1,0 +1,153 @@
+"""Tests for the data layer: bbox helpers, augmentation geometry, config CLI."""
+import numpy as np
+import pytest
+
+from vpho_tpu.configs.config import Config, get_config
+from vpho_tpu.data.augment import AugmentConfig, ImageAugmentor, normalize_rgb
+from vpho_tpu.data import dexycb as D
+
+
+class TestBBoxHelpers:
+    def test_pt2d_to_bbox(self):
+        pts = np.array([[1.0, 2.0], [5.0, 7.0], [3.0, 4.0]])
+        np.testing.assert_allclose(D.pt2d_to_bbox(pts), [1, 2, 5, 7])
+
+    def test_expand_bbox(self):
+        bbox = np.array([0.0, 0.0, 10.0, 10.0])
+        out = D.expand_bbox(bbox, 1.5)
+        np.testing.assert_allclose(out, [-2.5, -2.5, 12.5, 12.5])
+
+    def test_rectangularize(self):
+        bbox = np.array([0.0, 0.0, 10.0, 20.0])
+        out = D.rectangularize(bbox)
+        np.testing.assert_allclose(out, [-5, 0, 15, 20])
+
+    def test_bbox_in_image(self):
+        assert D.bbox_in_image(np.array([0.0, 0, 10, 10]), 64)
+        assert not D.bbox_in_image(np.array([-1.0, 0, 10, 10]), 64)
+        assert not D.bbox_in_image(np.array([0.0, 0, 70, 10]), 64)
+
+
+class TestRotationHelpers:
+    def test_aa_mat_roundtrip(self):
+        aa = np.array([0.3, -0.5, 0.8])
+        R = D._aa_to_mat(aa)
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        np.testing.assert_allclose(D._mat_to_aa(R), aa, atol=1e-8)
+
+    def test_zero_rotation(self):
+        np.testing.assert_allclose(D._aa_to_mat(np.zeros(3)), np.eye(3))
+        np.testing.assert_allclose(D._mat_to_aa(np.eye(3)), np.zeros(3))
+
+
+class TestAugmentationGeometry:
+    """Pin the 2D-affine == 3D-optical-axis-rotation equivalence
+    (base.py:567: 3D rot about the camera axis == 2D rot about the principal
+    point, with the crop intrinsics adjusted to match)."""
+
+    def _make_ds(self):
+        cfg = Config(patch_size=128, bbox_scale_factor=1.2)
+
+        class Stub:
+            pass
+
+        ds = Stub()
+        ds.cfg = cfg
+        ds._augmentation_rotmat = D.DexYCBForceDataset._augmentation_rotmat.__get__(ds)
+        return ds
+
+    def test_projection_consistency(self):
+        """project(R3 @ X, K_crop) == affine(project(X, K)) for any rotation."""
+        ds = self._make_ds()
+        rng = np.random.RandomState(0)
+        X = rng.randn(30, 3) * 0.1 + np.array([0, 0, 0.6])
+        K = np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]])
+        pts2d = (X @ K.T)
+        pts2d = pts2d[:, :2] / pts2d[:, 2:]
+        jt2d, kpt2d = pts2d[:21], pts2d[21:][:9]
+
+        for rot in (0.0, 0.3, -0.5):
+            R3, A2, K_crop = ds._augmentation_rotmat(
+                np.zeros(2), 1.0, rot, jt2d, kpt2d, K)
+            X_rot = X @ R3.T
+            proj_rot = X_rot @ K_crop.T
+            proj_rot = proj_rot[:, :2] / proj_rot[:, 2:]
+            affine = pts2d @ A2[:2, :2].T + A2[:2, 2]
+            np.testing.assert_allclose(proj_rot, affine, atol=1e-6)
+
+    def test_rotmat_3d_is_rotation(self):
+        ds = self._make_ds()
+        R3, A2, K_crop = ds._augmentation_rotmat(
+            np.zeros(2), 1.0, 0.4,
+            np.random.RandomState(1).rand(21, 2) * 100 + 200,
+            np.random.RandomState(2).rand(27, 2) * 100 + 200,
+            np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]]))
+        np.testing.assert_allclose(R3 @ R3.T, np.eye(3), atol=1e-10)
+
+
+class TestColorAugment:
+    def test_deterministic_per_seed(self):
+        aug = ImageAugmentor(AugmentConfig())
+        img = (np.random.RandomState(0).rand(64, 64, 3) * 255).astype(np.uint8)
+        a = aug.run_color(img.copy(), np.random.RandomState(5))
+        b = aug.run_color(img.copy(), np.random.RandomState(5))
+        np.testing.assert_array_equal(a, b)
+        c = aug.run_color(img.copy(), np.random.RandomState(6))
+        assert not np.array_equal(a, c)
+
+    def test_output_valid(self):
+        aug = ImageAugmentor(AugmentConfig())
+        img = (np.random.RandomState(1).rand(64, 64, 3) * 255).astype(np.uint8)
+        out = aug.run_color(img, np.random.RandomState(0))
+        assert out.dtype == np.uint8 and out.shape == img.shape
+
+    def test_random_erasing(self):
+        aug = ImageAugmentor(AugmentConfig(random_erasing_prob=1.0))
+        img = normalize_rgb((np.ones((64, 64, 3)) * 128).astype(np.uint8))
+        out = aug.run_random_erasing(img, np.random.RandomState(0))
+        assert not np.allclose(out, img)  # something was erased
+
+    def test_normalize_rgb(self):
+        img = (np.ones((4, 4, 3)) * 255).astype(np.uint8)
+        out = normalize_rgb(img)
+        expected = (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225])
+        np.testing.assert_allclose(out[0, 0], expected, atol=1e-5)
+
+
+class TestFilters:
+    def test_hfl_filter(self):
+        ok = {"joint_2d": [[[300, 200]] * 21]}
+        assert D.filter_hfl(ok)
+        edge = {"joint_2d": [[[-500, 200]] * 21]}
+        # degenerate zero-area bbox fails
+        assert not D.filter_hfl(edge)
+
+
+class TestConfigCLI:
+    def test_defaults_match_reference(self):
+        cfg = get_config([])
+        assert cfg.base_learning_rate == 2e-4
+        assert cfg.gamma == 0.96
+        assert cfg.sample_T0 == 0.65
+        assert cfg.topk_hand == 15
+        assert cfg.weight_hm_hand_loss == 1e3
+        assert cfg.weight_torque_loss == 30.0
+        assert cfg.do_weighted_average is True
+        assert cfg.use_regression_as_candidate is True
+
+    def test_store_false_semantics(self):
+        cfg = get_config(["--do_physics_selection", "--use_regression_as_candidate"])
+        assert cfg.do_physics_selection is False
+        assert cfg.use_regression_as_candidate is False
+
+    def test_flag_parsing(self):
+        cfg = get_config(["--mode", "eval", "--sample_num", "100",
+                          "--topk_hand", "30", "--batch_size", "64"])
+        assert cfg.mode == "eval" and cfg.sample_num == 100
+        assert cfg.topk_hand == 30 and cfg.batch_size == 64
+
+    def test_to_model_config(self):
+        cfg = get_config(["--sampling_steps", "50"])
+        mc = cfg.to_model_config()
+        assert mc.sampling_steps == 50
+        assert mc.weight_hm_hand_loss == 1e3

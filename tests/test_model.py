@@ -52,7 +52,8 @@ class TestTrunk:
     def test_shapes(self, ctx, model_and_vars):
         model, variables = model_and_vars
         batch = make_batch(ctx, jax.random.PRNGKey(3), 2, 64)
-        out = model.apply(variables, batch, False, method=VPHONet.trunk)
+        trunk = jax.jit(lambda v, b: model.apply(v, b, False, method=VPHONet.trunk))
+        out = trunk(variables, batch)
         assert out["encoding_hand"].shape == (2, 1024)
         assert out["encoding_obj"].shape == (2, 1024)
         assert out["pd_hm_hand"].shape == (2, 21, 64, 64)
@@ -75,8 +76,8 @@ class TestTrain:
             total, loss_dt, _ = forward_train(model, vs, ctx, batch, jax.random.PRNGKey(5))
             return total, loss_dt
 
-        (total, loss_dt), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            variables["params"])
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        (total, loss_dt), grads = grad_fn(variables["params"])
         assert np.isfinite(float(total))
         expected_keys = {
             "diff_hand_loss", "diff_obj_loss", "hm_hand_loss", "hm_obj_loss",
@@ -93,7 +94,8 @@ class TestTrain:
     def test_batch_stats_updated(self, ctx, model_and_vars):
         model, variables = model_and_vars
         batch = make_batch(ctx, jax.random.PRNGKey(6), 2, 64)
-        _, _, mutated = forward_train(model, variables, ctx, batch, jax.random.PRNGKey(7))
+        step = jax.jit(lambda v, b, r: forward_train(model, v, ctx, b, r))
+        _, _, mutated = step(variables, batch, jax.random.PRNGKey(7))
         old = jax.tree.leaves(variables["batch_stats"])
         new = jax.tree.leaves(mutated["batch_stats"])
         changed = any(
@@ -106,7 +108,8 @@ class TestPredict:
     def test_full_predict_pipeline(self, ctx, model_and_vars):
         model, variables = model_and_vars
         batch = make_batch(ctx, jax.random.PRNGKey(8), 2, 64)
-        pd = forward_predict(model, variables, ctx, batch, jax.random.PRNGKey(9))
+        predict = jax.jit(lambda v, b, r: forward_predict(model, v, ctx, b, r))
+        pd = predict(variables, batch, jax.random.PRNGKey(9))
         S = ctx.cfg.sample_num
         assert pd["reg_hand_vert"].shape == (2, 778, 3)
         assert pd["reg_hand_joint"].shape == (2, 21, 3)

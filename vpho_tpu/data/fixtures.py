@@ -39,9 +39,22 @@ def _rectangularize(bbox: jax.Array, size: int) -> jax.Array:
     return jnp.clip(sq, 0.0, size - 1.0)
 
 
+_JIT_CACHE: dict = {}
+
+
 def make_batch(ctx, key: jax.Array, batch_size: int = 2, patch_size: int = 128,
                heatmap_size: int = 64) -> Dict[str, jax.Array]:
-    """Build one synthetic batch consistent with the model's input contract."""
+    """Build one synthetic batch (jitted per shape — eager per-op dispatch is
+    pathologically slow on small hosts)."""
+    sig = (id(ctx.mano.v_template), batch_size, patch_size, heatmap_size)
+    if sig not in _JIT_CACHE:
+        _JIT_CACHE[sig] = jax.jit(
+            lambda k: _make_batch_impl(ctx, k, batch_size, patch_size, heatmap_size))
+    return _JIT_CACHE[sig](key)
+
+
+def _make_batch_impl(ctx, key: jax.Array, batch_size: int = 2, patch_size: int = 128,
+                     heatmap_size: int = 64) -> Dict[str, jax.Array]:
     B = batch_size
     keys = jax.random.split(key, 10)
     mano: MANOModel = ctx.mano

@@ -22,6 +22,9 @@ DIST_KEYS = ("MCE", "MCE2", "SMCE", "OCE", "ADD", "ADDS", "CD")
 RATE_KEYS = ("ADD01d", "ADDS01d", "REP5")
 
 
+_hand_metrics_jit = jax.jit(M.hand_metrics)
+
+
 class TesterHand:
     """Accumulates per-batch hand criteria; reports mm tables."""
 
@@ -29,8 +32,8 @@ class TesterHand:
         self._rows: list[dict] = []
 
     def add_batch(self, gt_joint, pd_joint, gt_vert, pd_vert, is_right, valid=None):
-        out = M.hand_metrics(jnp.asarray(gt_joint), jnp.asarray(pd_joint),
-                             jnp.asarray(gt_vert), jnp.asarray(pd_vert))
+        out = _hand_metrics_jit(jnp.asarray(gt_joint), jnp.asarray(pd_joint),
+                                jnp.asarray(gt_vert), jnp.asarray(pd_vert))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["is_right"] = np.asarray(is_right)
         if valid is not None:
@@ -65,11 +68,15 @@ class TesterObject:
 
     def __init__(self, registry: YCBRegistry):
         self.registry = registry
+        # registry captured in the closure (its ``names`` tuple of strings is
+        # not a jax type, so it cannot cross the jit boundary as an argument)
+        self._metrics_jit = jax.jit(
+            lambda pd, gt, ids, K: M.object_metrics(registry, pd, gt, ids, K))
         self._rows: list[dict] = []
 
     def add_batch(self, pd_rt, gt_rt, obj_ids, cam_intr, valid=None):
-        out = M.object_metrics(self.registry, jnp.asarray(pd_rt), jnp.asarray(gt_rt),
-                               jnp.asarray(obj_ids), jnp.asarray(cam_intr))
+        out = self._metrics_jit(jnp.asarray(pd_rt), jnp.asarray(gt_rt),
+                                jnp.asarray(obj_ids), jnp.asarray(cam_intr))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["obj_id"] = np.asarray(obj_ids)
         if valid is not None:
