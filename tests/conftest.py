@@ -6,13 +6,18 @@ dominate unit tests anyway.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE cpu: the harness environment pre-sets JAX_PLATFORMS=axon (remote TPU
+# via a relay tunnel) — unit tests must never round-trip ops over it
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vpho_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+# threshold 0: compilation may be forwarded to a remote service (axon
+# remote-compile), which reports ~zero local compile time — every entry must
+# be cached or reruns pay the round-trip again
+os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
 
 import jax  # noqa: E402
 

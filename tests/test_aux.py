@@ -1,0 +1,149 @@
+"""Tests for auxiliary subsystems: EMA, profiling, viz dumps, extra agg modes."""
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpho_tpu.engine import profiling
+from vpho_tpu.engine.viz import save_viz_force, save_viz_hand, save_viz_obj
+from vpho_tpu.models import aggregation as agg
+from vpho_tpu.models.ema import ema_init, ema_update
+from vpho_tpu.models.heads import HeadObjectRegress, object_regress_losses
+from vpho_tpu.models.mano import hand_verts_meters, synthetic_mano
+from vpho_tpu.models.ycb import synthetic_registry
+from vpho_tpu.ops.heatmap import adaptive_bbox_heatmap
+from vpho_tpu.utils import transforms as T
+
+
+class TestEMA:
+    def test_warmup_and_convergence(self):
+        params = {"w": jnp.zeros(3)}
+        state = ema_init(params)
+        target = {"w": jnp.ones(3)}
+        for _ in range(200):
+            state = ema_update(state, target, decay=0.9)
+        np.testing.assert_allclose(np.asarray(state.params["w"]), 1.0, atol=1e-3)
+        assert int(state.num_updates) == 200
+
+    def test_early_updates_track_fast(self):
+        state = ema_init({"w": jnp.zeros(())})
+        state = ema_update(state, {"w": jnp.ones(())}, decay=0.999)
+        # warmup decay is (1+1)/(10+1) ~ 0.18, so the first update moves a lot
+        assert float(state.params["w"]) > 0.5
+
+
+class TestProfiling:
+    def test_flops_of_matmul(self):
+        def f(a, b):
+            return a @ b
+
+        cost = profiling.flops_of(f, jnp.ones((64, 64)), jnp.ones((64, 64)))
+        # 2*M*N*K = 524288 flops
+        assert cost["flops"] >= 2 * 64**3 * 0.5
+
+    def test_param_count(self):
+        assert profiling.param_count({"a": jnp.ones((3, 4)), "b": jnp.ones(5)}) == 17
+
+    def test_device_timer(self):
+        res = {}
+        with profiling.device_timer("x", res) as h:
+            h["outputs"] = jnp.ones((8, 8)) * 2
+        assert res["x"] >= 0
+
+
+class TestVizDumps:
+    def test_hand_and_force_dumps(self, tmp_path):
+        d = str(tmp_path)
+        p = save_viz_hand(
+            d, 0, gt_vert=np.zeros((778, 3)), gt_obj_vert=np.zeros((100, 3)),
+            pd_vert_reg=np.zeros((778, 3)), pd_vert_diff=np.zeros((5, 778, 3)),
+            pd_vert_agg=np.zeros((778, 3)), rgb_path="x.jpg")
+        with open(p, "rb") as f:
+            dt = pickle.load(f)
+        assert "gt_hand_#000000" in dt
+        assert any(k.startswith("hand_diff_vert_0_#") for k in dt)
+
+        p2 = save_viz_force(
+            d, 1, vert=np.zeros((778, 3)), force_point=np.zeros((32, 3)),
+            force_global=np.ones((32, 3)), gravity=np.zeros((1, 3)),
+            com=np.zeros((1, 3)), obj_mesh=np.zeros((100, 3)))
+        with open(p2, "rb") as f:
+            dt2 = pickle.load(f)
+        assert dt2["force_#FF0000"].shape == (32, 2, 3)
+
+    def test_obj_dump(self, tmp_path):
+        reg = synthetic_registry()
+        p = save_viz_obj(
+            str(tmp_path), 2, reg, 0,
+            gt_rt=np.eye(3, 4), pd_rt_cands=np.tile(np.eye(3, 4), (3, 1, 1)),
+            pd_rt_agg=np.eye(3, 4), gt_hand=np.zeros((778, 3)))
+        with open(p, "rb") as f:
+            dt = pickle.load(f)
+        assert dt["obj_name"] == reg.names[0]
+
+
+class TestHeadObjectRegress:
+    def test_forward_and_losses(self):
+        m = HeadObjectRegress()
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 1024)))
+        out = m.apply(v, jnp.ones((2, 1024)))
+        assert out.shape == (2, 9)
+        losses = object_regress_losses(
+            out, jnp.zeros((2, 2048, 3)), jnp.zeros((2, 27, 3)),
+            jnp.zeros((2, 9)), jnp.zeros((2, 2048, 3)), jnp.zeros((2, 27, 3)))
+        assert set(losses) == {"obj_reg_vert_loss", "obj_reg_kpt_loss",
+                               "obj_reg_rot6d_loss", "obj_reg_trans_loss"}
+
+
+@pytest.fixture(scope="module")
+def mano():
+    return synthetic_mano()
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return synthetic_registry()
+
+
+class TestExtraAggModes:
+    def _hand_inputs(self, mano, B=2, S=4):
+        key = jax.random.PRNGKey(0)
+        pose = jax.random.normal(key, (B, S, 48)) * 0.2
+        shape = jnp.zeros((B, S, 10))
+        root = jnp.tile(jnp.array([0.0, 0.0, 0.5]), (B, 1))
+        K = jnp.tile(jnp.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]]), (B, 1, 1))
+        _, joint = hand_verts_meters(mano, pose[:, 0], shape[:, 0])
+        jt2d = T.project_points_batched(joint + root[:, None], K)
+        bbox = jnp.concatenate([jt2d.min(1) - 5, jt2d.max(1) + 5], axis=-1)
+        hm = adaptive_bbox_heatmap(jt2d, bbox, 64, 2.0)
+        return dict(pose=pose, shape=shape, root_joint=root, cam_intrinsic=K,
+                    heatmap=hm, bbox=bbox, k=2, pose_regression=pose[:, 0])
+
+    @pytest.mark.parametrize("mode", ["heatmap", "2D_pt_pose", "2D_pt_joint",
+                                      "average_all", "random"])
+    def test_hand_modes_run(self, mano, mode):
+        kw = self._hand_inputs(mano)
+        out = jax.jit(lambda kw: agg.aggregate_hand(mode, mano, **kw))(kw)
+        assert out["agg_joint"].shape == (2, 21, 3)
+        assert np.isfinite(np.asarray(out["agg_joint"])).all()
+
+    @pytest.mark.parametrize("mode", ["heatmap", "2D_pt_pose", "average_all", "random"])
+    def test_obj_modes_run(self, registry, mode):
+        B, S = 2, 4
+        key = jax.random.PRNGKey(1)
+        kw = dict(
+            pose6d=jax.random.normal(key, (B, S, 9)) * 0.1,
+            root_joint=jnp.tile(jnp.array([0.0, 0, 0.5]), (B, 1)),
+            obj_ids=jnp.array([0, 5]),
+            is_right=jnp.ones((B,), bool),
+            cam_intrinsic=jnp.tile(jnp.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]]), (B, 1, 1)),
+            heatmap=jnp.ones((B, 27, 64, 64)),
+            bbox=jnp.tile(jnp.array([10.0, 10, 110, 110]), (B, 1)),
+            k=2,
+        )
+        out = jax.jit(lambda kw: agg.aggregate_obj(mode, registry, **kw))(kw)
+        assert out["agg_6d"].shape == (B, 9)
+        assert out["agg_obj_vert"].shape == (B, 2048, 3)

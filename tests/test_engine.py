@@ -1,0 +1,133 @@
+"""Engine integration: train step over the 8-device mesh, eval, checkpoints.
+
+Uses the tiniest viable model config; everything flows through the same
+jitted SPMD paths production uses (make_train_step / make_predict_step).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpho_tpu.configs.config import Config
+from vpho_tpu.data.fixtures import make_batch
+from vpho_tpu.engine.trainer import (Trainer, create_train_state, make_lr_schedule,
+                                     make_train_step, postprocess_hand_vert,
+                                     postprocess_obj_rt)
+from vpho_tpu.models import vpho as V
+from vpho_tpu.models.vpho import VPHONet
+from vpho_tpu.parallel.mesh import make_mesh, pad_batch_to, replicate, shard_batch
+from vpho_tpu.utils import transforms as T
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return Config(batch_size=8, sampling_steps=4, sample_num=3, repeat_num=2,
+                  patch_size=64, topk_hand=2, topk_obj=2, print_freq=1,
+                  max_epochs=1, num_workers=0)
+
+
+@pytest.fixture(scope="module")
+def ctx(cfg):
+    return V.make_context(cfg.to_model_config())
+
+
+class TestSchedules:
+    def test_exp(self, cfg):
+        s = make_lr_schedule(cfg, steps_per_epoch=10)
+        assert abs(s(0) - cfg.base_learning_rate) < 1e-12
+        assert abs(s(10) - cfg.base_learning_rate * cfg.gamma) < 1e-10
+        assert abs(s(25) - cfg.base_learning_rate * cfg.gamma**2) < 1e-10
+
+    def test_step(self, cfg):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, scheduler="step", lr_step=2)
+        s = make_lr_schedule(c, steps_per_epoch=10)
+        assert abs(s(0) - c.base_learning_rate) < 1e-12
+        assert abs(s(10) - c.base_learning_rate) < 1e-12       # epoch 1 < lr_step
+        assert abs(s(20) - c.base_learning_rate * c.gamma) < 1e-10
+
+    def test_cosine_warmup(self, cfg):
+        import dataclasses
+
+        c = dataclasses.replace(cfg, scheduler="cosine", max_epochs=10)
+        s = make_lr_schedule(c, steps_per_epoch=10)
+        assert float(s(0)) < float(s(9))  # warming up
+        assert float(s(99)) < float(s(10))  # decayed at the end
+
+
+class TestMeshUtils:
+    def test_shard_batch_spec(self, ctx, cfg):
+        mesh = make_mesh(8)
+        batch = jax.device_get(make_batch(ctx, jax.random.PRNGKey(0), 8, 64))
+        sharded = shard_batch(batch, mesh)
+        sh = sharded["rgb"].sharding
+        assert sh.spec[0] == "data"
+
+    def test_pad_batch(self, ctx):
+        batch = {k: np.asarray(v) for k, v in
+                 jax.device_get(make_batch(ctx, jax.random.PRNGKey(1), 3, 64)).items()}
+        padded, valid = pad_batch_to(batch, 8)
+        assert padded["rgb"].shape[0] == 8
+        assert valid.sum() == 3
+        np.testing.assert_array_equal(padded["rgb"][3], padded["rgb"][2])
+
+
+class TestTrainStepSPMD:
+    def test_two_steps_reduce_loss_determinism(self, ctx, cfg):
+        mesh = make_mesh(8)
+        model = VPHONet()
+        batch = jax.device_get(make_batch(ctx, jax.random.PRNGKey(0), 8, 64))
+        state = create_train_state(model, ctx, cfg, batch, 10, jax.random.PRNGKey(206))
+        state = replicate(state, mesh)
+        step = make_train_step(model, ctx)
+        sharded = shard_batch(batch, mesh)
+        state, loss1 = step(state, sharded, jax.random.PRNGKey(1))
+        l1 = float(loss1["total_loss"])
+        state, loss2 = step(state, sharded, jax.random.PRNGKey(1))
+        l2 = float(loss2["total_loss"])
+        assert np.isfinite(l1) and np.isfinite(l2)
+        assert int(state.step) == 2
+
+
+class TestPostprocess:
+    def test_obj_rt(self):
+        pose = jnp.concatenate(
+            [T.matrix_to_rotation_6d(jnp.eye(3))[None], jnp.array([[0.01, 0.02, 0.03]])],
+            axis=-1)
+        root = jnp.array([[0.0, 0.0, 0.5]])
+        rt = postprocess_obj_rt(pose, root)
+        np.testing.assert_allclose(np.asarray(rt[0, :, 3]), [0.01, 0.02, 0.53], atol=1e-6)
+
+    def test_obj_rt_multi_candidate(self):
+        pose = jnp.zeros((2, 5, 9)).at[..., 0].set(1.0).at[..., 4].set(1.0)
+        root = jnp.array([[0.0, 0, 0.5], [0, 0, 0.6]])
+        rt = postprocess_obj_rt(pose, root)
+        assert rt.shape == (2, 5, 3, 4)
+        np.testing.assert_allclose(np.asarray(rt[1, 3, 2, 3]), 0.6, atol=1e-6)
+
+    def test_hand_vert_unflip(self):
+        vert = jnp.ones((2, 4, 3))
+        root = jnp.zeros((2, 3)).at[:, 2].set(0.5)
+        is_right = jnp.array([True, False])
+        out = postprocess_hand_vert(vert, root, is_right)
+        np.testing.assert_allclose(np.asarray(out[0, 0]), [1, 1, 1.5], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[1, 0]), [-1, 1, 1.5], atol=1e-6)
+
+
+class TestRunnerSmoke:
+    def test_eval_mode_synthetic(self, tmp_path, cfg):
+        """Full eval pipeline through the runner on the synthetic stream."""
+        import dataclasses
+
+        c = dataclasses.replace(
+            cfg, mode="eval", output_dir=str(tmp_path), eval_batch_size=4,
+            batch_size=4)
+        from vpho_tpu.engine.runner import run
+
+        trainer = run(c)
+        # prediction dump written
+        files = [f for f in os.listdir(trainer.save_dir) if f.startswith("my-prediction")]
+        assert files, os.listdir(trainer.save_dir)

@@ -106,3 +106,21 @@ class TestPCA:
     def test_loader_fallback(self):
         m = M.load_mano(mano_root="/nonexistent", side="right")
         assert m.v_template.shape == (778, 3)
+
+
+class TestJointsOnlyFK:
+    def test_matches_full_fk(self):
+        from vpho_tpu.models.mano import (hand_joints_meters, hand_verts_meters,
+                                          mano_fk, mano_fk_joints, synthetic_mano)
+        import jax, jax.numpy as jnp, numpy as np
+
+        model = synthetic_mano()
+        pose = jax.random.normal(jax.random.PRNGKey(11), (6, 48)) * 0.4
+        shape = jax.random.normal(jax.random.PRNGKey(12), (6, 10)) * 0.5
+        _, j_full = mano_fk(model, pose, shape)
+        j_fast = mano_fk_joints(model, pose, shape)
+        np.testing.assert_allclose(np.asarray(j_full), np.asarray(j_fast), atol=1e-3)
+
+        _, jm = hand_verts_meters(model, pose, shape)
+        jm2 = hand_joints_meters(model, pose, shape)
+        np.testing.assert_allclose(np.asarray(jm), np.asarray(jm2), atol=1e-5)

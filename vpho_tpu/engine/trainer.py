@@ -291,6 +291,18 @@ class Trainer:
         for i, batch in enumerate(batches):
             valid = batch.pop("_valid", None)
             jbatch = shard_batch(batch, self.mesh)
+            if i == 0:
+                # FLOPs/params at eval batch 0 (train_diff_hand_obj.py:220-221)
+                try:
+                    from .profiling import flops_of, param_count
+
+                    cost = flops_of(self._predict_step, self.state, jbatch,
+                                    jax.random.fold_in(rng, 0))
+                    self.logger.info(
+                        f"predict graph: {cost['flops']/1e9:.2f} GFLOPs, "
+                        f"{param_count(self.state.params)/1e6:.2f}M params")
+                except Exception as e:  # cost analysis is best-effort
+                    self.logger.info(f"flops analysis unavailable: {e}")
             pd = self._predict_step(self.state, jbatch, jax.random.fold_in(rng, i))
 
             root = jbatch["root_joint"]

@@ -34,7 +34,7 @@ from ..utils.hand import MANO_JOINT_LEVEL, MANO_PARAMS_LEVEL
 from ..ops.image import sample_points
 from . import anchor as anchor_lib
 from . import heads
-from .mano import MANOModel, hand_verts_meters
+from .mano import MANOModel, hand_joints_meters, hand_verts_meters
 from .ycb import YCBRegistry
 
 Array = jax.Array
@@ -126,7 +126,8 @@ def select_topk_hand_level(
     aggregation.py:180-284)."""
     B, N = pose.shape[:2]
     K = k
-    vert, joint = hand_verts_meters(mano, pose, shape)          # (B, N, 778/21, 3)
+    # joints-only FK: the level score needs projected joints, never verts
+    joint = hand_joints_meters(mano, pose, shape)               # (B, N, 21, 3)
     joint_cam = joint + root_joint[:, None, None]
     pt2d = T.project_points_batched(joint_cam, cam_intrinsic)
     pt2d = normalize_pt2d_to_bbox(pt2d, bbox)
@@ -480,3 +481,172 @@ def hoi_aggregate(
         "hand_agg_vert": hand_final["agg_vert"],
         "hand_agg_joint": hand_final["agg_joint"],
     }
+
+
+# ---------------------------------------------------------------------------
+# remaining aggregation modes + mode dispatch (CLI surface parity:
+# --aggregation_mode_hand / --aggregation_mode_obj, args.py:235-245)
+# ---------------------------------------------------------------------------
+
+
+def hand_select_by_heatmap(mano: MANOModel, pose: Array, shape: Array,
+                           root_joint: Array, cam_intrinsic: Array, heatmap: Array,
+                           bbox: Array, k: int, is_weight: bool = True) -> Dict[str, Array]:
+    """Single-level whole-pose heatmap selection (select_by_heatmap, :82-113)."""
+    B = pose.shape[0]
+    data = select_topk_hand_level(
+        mano, pose, shape, root_joint, cam_intrinsic, heatmap, bbox, k,
+        fuse_index=list(range(48)), observe_index=list(range(21)),
+        is_independent=False, is_weight=is_weight,
+    )
+    fused_pose = data.fused_pose[:, 0]
+    shape0 = shape[:, 0]
+    vert, joint = hand_verts_meters(mano, fused_pose, shape0)
+    return {
+        "agg_hand_mano": jnp.concatenate([fused_pose, shape0], -1),
+        "agg_vert": vert, "agg_joint": joint, "topk": data.topk,
+    }
+
+
+def hand_select_random(mano: MANOModel, pose: Array, shape: Array) -> Dict[str, Array]:
+    """Take candidate 0 (random, :426-467 — candidates are i.i.d. samples)."""
+    B = pose.shape[0]
+    fused = pose[:, 0]
+    shape0 = shape[:, 0]
+    vert, joint = hand_verts_meters(mano, fused, shape0)
+    return {
+        "agg_hand_mano": jnp.concatenate([fused, shape0], -1),
+        "agg_vert": vert, "agg_joint": joint,
+    }
+
+
+def hand_select_by_2d_pt(mano: MANOModel, pose: Array, shape: Array,
+                         root_joint: Array, cam_intrinsic: Array, heatmap: Array,
+                         bbox: Array, k: int, level: str = "pose") -> Dict[str, Array]:
+    """Rank by distance of projected joints to the heatmap argmax peaks
+    (select_by_2D_pt, :286-377).  level in {'pose', 'joint'}."""
+    B, N = pose.shape[:2]
+    J, H, W = heatmap.shape[1:]
+    joint = hand_joints_meters(mano, pose, shape)
+    joint_cam = joint + root_joint[:, None, None]
+    pt2d_proj = normalize_pt2d_to_bbox(
+        T.project_points_batched(joint_cam, cam_intrinsic), bbox)
+
+    # heatmap peaks in normalized coords (argmax per joint, :313-323)
+    flat = heatmap.reshape(B, J, -1)
+    ind = jnp.argmax(flat, axis=-1)
+    # NOTE: the reference builds XX from an ij-meshgrid, making its "x" track
+    # the ROW index (same quirk as the heatmap realignment); we use the
+    # geometrically correct column->x mapping.
+    px = (ind % W).astype(heatmap.dtype) / (W - 1) * 2 - 1
+    py = (ind // W).astype(heatmap.dtype) / (H - 1) * 2 - 1
+    pt2d_hm = jnp.stack([px, py], axis=-1)                       # (B, J, 2)
+    score = -jnp.linalg.norm(pt2d_proj - pt2d_hm[:, None], axis=-1)  # (B, N, J)
+
+    if level == "pose":
+        val, topk = jax.lax.top_k(score.sum(-1), k)
+        sel = take_candidates(pose, topk).reshape(B, k, 16, 3)
+        quat = jnp.swapaxes(T.axis_angle_to_quaternion(sel), 1, 2)
+        fused = T.quaternion_to_axis_angle(T.average_quaternion(quat)).reshape(B, 48)
+        shape0 = shape[:, 0]
+        fvert, fjoint = hand_verts_meters(mano, fused, shape0)
+        return {
+            "agg_hand_mano": jnp.concatenate([fused, shape0], -1),
+            "agg_vert": fvert, "agg_joint": fjoint, "topk": topk,
+        }
+    # joint level: per-joint top-k joint-position mean (no valid mesh)
+    val, topk = jax.lax.top_k(jnp.swapaxes(score, 1, 2), k)       # (B, J, k)
+    jsel = jnp.take_along_axis(
+        jnp.swapaxes(joint, 1, 2), topk[..., None].repeat(3, -1), axis=2)
+    fused_joint = jsel.mean(2)                                    # (B, J, 3)
+    return {
+        "agg_hand_mano": jnp.zeros((B, 58), pose.dtype),
+        "agg_vert": jnp.zeros((B, 778, 3), pose.dtype),
+        "agg_joint": fused_joint, "topk": topk,
+    }
+
+
+def aggregate_hand(mode: str, mano: MANOModel, **kw) -> Dict[str, Array]:
+    """Mode dispatch (HandAggregator.__call__, :63-79)."""
+    if mode == "heatmap_cascade":
+        return hand_heatmap_cascade(
+            mano, kw["pose"], kw["pose_regression"], kw["shape"], kw["root_joint"],
+            kw["cam_intrinsic"], kw["heatmap"], kw["bbox"], kw["k"],
+            is_weight=kw.get("is_weight", True),
+            use_regression_as_candidate=kw.get("use_regression_as_candidate", True))
+    if mode == "heatmap":
+        return hand_select_by_heatmap(
+            mano, kw["pose"], kw["shape"], kw["root_joint"], kw["cam_intrinsic"],
+            kw["heatmap"], kw["bbox"], kw["k"], kw.get("is_weight", True))
+    if mode in ("2D_pt_pose", "2D_pt_joint"):
+        return hand_select_by_2d_pt(
+            mano, kw["pose"], kw["shape"], kw["root_joint"], kw["cam_intrinsic"],
+            kw["heatmap"], kw["bbox"], kw["k"],
+            level="pose" if mode.endswith("pose") else "joint")
+    if mode == "average_all":
+        return hand_average_all(mano, kw["pose"], kw["shape"])
+    if mode == "random":
+        return hand_select_random(mano, kw["pose"], kw["shape"])
+    raise NotImplementedError(mode)
+
+
+def obj_select_by_2d_pt(registry: YCBRegistry, pose6d: Array, root_joint: Array,
+                        obj_ids: Array, is_right: Array, cam_intrinsic: Array,
+                        heatmap: Array, bbox: Array, k: int) -> Dict[str, Array]:
+    """Object 2D-peak ranking (select_by_2D_pt, :1001-1052, 'pose' level)."""
+    B, N = pose6d.shape[:2]
+    J, H, W = heatmap.shape[1:]
+    pose_cam = pose6d.at[..., 6:].add(root_joint[:, None])
+    pt3d = heads.object_transform(registry, pose_cam, obj_ids, "keypoint")
+    pt3d = heads.flip_pt3d(pt3d, is_right)
+    pt2d_proj = normalize_pt2d_to_bbox(
+        T.project_points_batched(pt3d, cam_intrinsic), bbox)
+    flat = heatmap.reshape(B, J, -1)
+    ind = jnp.argmax(flat, axis=-1)
+    px = (ind % W).astype(heatmap.dtype) / (W - 1) * 2 - 1
+    py = (ind // W).astype(heatmap.dtype) / (H - 1) * 2 - 1
+    pt2d_hm = jnp.stack([px, py], axis=-1)
+    score = -jnp.linalg.norm(pt2d_proj - pt2d_hm[:, None], axis=-1).sum(-1)
+    _, topk = jax.lax.top_k(score, k)
+    fused = obj_fuse_topk(pose6d, topk)
+    return _obj_result(registry, fused, root_joint, obj_ids, is_right, pose6d)
+
+
+def _obj_result(registry, fused, root_joint, obj_ids, is_right, candidates):
+    pose_cam = fused.at[..., 6:].add(root_joint)
+    vert = heads.object_transform(registry, pose_cam, obj_ids, "verts")
+    vert = heads.flip_pt3d(vert, is_right)
+    return {"agg_6d": fused, "candidate_6d": candidates, "agg_obj_vert": vert}
+
+
+def aggregate_obj(mode: str, registry: YCBRegistry, **kw) -> Dict[str, Array]:
+    """Mode dispatch (ObjectAggregator.__call__, :632-644), standalone modes.
+
+    The live predict path uses the HOI orchestration (hoi_aggregate) instead;
+    these cover the CLI's non-default choices.
+    """
+    common = (kw["pose6d"], kw["root_joint"], kw["obj_ids"], kw["is_right"])
+    if mode == "heatmap":
+        topk, weight = obj_topk_by_heatmap(
+            registry, *common, kw["cam_intrinsic"], kw["heatmap"], kw["bbox"], kw["k"])
+        fused = obj_fuse_topk(kw["pose6d"], topk,
+                              weight if kw.get("is_weight", True) else None)
+        return _obj_result(registry, fused, kw["root_joint"], kw["obj_ids"],
+                           kw["is_right"], kw["pose6d"])
+    if mode == "2D_pt_pose":
+        return obj_select_by_2d_pt(
+            registry, *common, kw["cam_intrinsic"], kw["heatmap"], kw["bbox"], kw["k"])
+    if mode == "average_all":
+        B, N = kw["pose6d"].shape[:2]
+        topk = jnp.broadcast_to(jnp.arange(min(kw["k"], N))[None],
+                                (B, min(kw["k"], N)))
+        fused = obj_fuse_topk(kw["pose6d"], topk)
+        return _obj_result(registry, fused, kw["root_joint"], kw["obj_ids"],
+                           kw["is_right"], kw["pose6d"])
+    if mode == "random":
+        B = kw["pose6d"].shape[0]
+        topk = jnp.zeros((B, 1), jnp.int32)
+        fused = obj_fuse_topk(kw["pose6d"], topk)
+        return _obj_result(registry, fused, kw["root_joint"], kw["obj_ids"],
+                           kw["is_right"], kw["pose6d"])
+    raise NotImplementedError(mode)

@@ -241,3 +241,32 @@ def physics_losses(gt_force_point, pd_force_global, gt_com, pd_com,
         "supervised_loss": supervised_loss,
         "CoM_loss": com_loss,
     }
+
+
+class HeadObjectRegress(nn.Module):
+    """Direct object 9D pose regression head (head_object_regress.py:8-31).
+
+    Defined in the reference but not instantiated by the live vpho_net
+    (eval tolerates its absence, train_diff_hand_obj.py:256-257); provided
+    here with its loss suite so the regression-object variant is available.
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        h = Dense(1024)(x)
+        h = nn.leaky_relu(h, 0.01)
+        h = Dense(512)(h)
+        h = nn.leaky_relu(h, 0.01)
+        rot6d = Dense(6)(h)
+        trans = Dense(3)(h)
+        return jnp.concatenate([rot6d, trans], axis=-1)
+
+
+def object_regress_losses(pd_pose, pd_vert, pd_kpt, gt_pose, gt_vert, gt_kpt):
+    """HeadObjectRegress.get_loss (head_object_regress.py:34-57)."""
+    return {
+        "obj_reg_vert_loss": jnp.mean((pd_vert - gt_vert) ** 2),
+        "obj_reg_kpt_loss": jnp.mean((pd_kpt - gt_kpt) ** 2),
+        "obj_reg_rot6d_loss": jnp.mean((pd_pose[:, :6] - gt_pose[:, :6]) ** 2),
+        "obj_reg_trans_loss": jnp.mean((pd_pose[:, 6:] - gt_pose[:, 6:]) ** 2),
+    }

@@ -220,6 +220,64 @@ def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
     return verts, jtr
 
 
+def mano_fk_joints(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.Array:
+    """Joints-only FK: LBS restricted to the 5 fingertip vertices.
+
+    The cascade aggregator scores candidates by PROJECTED JOINTS only
+    (aggregation.py:196-213); computing the full 778-vertex skinning there
+    wastes ~99% of the FLOPs (and XLA cannot prune it through the dense
+    einsums).  This path runs the kinematic chain plus a (5, 16) LBS.
+
+    Returns (B, 21, 3) mm, wrist-centered, manopth order.
+    """
+    B = pose.shape[0]
+    rots = _rodrigues(pose.reshape(B, 16, 3))
+    tip_ids = jnp.asarray(TIP_IDS)
+
+    v_shaped = model.v_template[None] + jnp.einsum(
+        "vds,bs->bvd", model.shapedirs, shape, precision=lax.Precision.HIGHEST)
+    j_rest = jnp.einsum("jv,bvd->bjd", model.J_regressor, v_shaped,
+                        precision=lax.Precision.HIGHEST)
+
+    eye = jnp.eye(3, dtype=pose.dtype)
+    pose_map = (rots[:, 1:] - eye).reshape(B, 135)
+    # only the tip rows of the pose-blend correction are needed
+    posedirs_tips = model.posedirs[tip_ids]                      # (5, 3, 135)
+    v_tips = v_shaped[:, tip_ids] + jnp.einsum(
+        "vdp,bp->bvd", posedirs_tips, pose_map, precision=lax.Precision.HIGHEST)
+
+    rel_t = [j_rest[:, 0]]
+    for k in range(1, 16):
+        rel_t.append(j_rest[:, k] - j_rest[:, PARENTS[k]])
+    A_rot = [rots[:, 0]]
+    A_t = [rel_t[0]]
+    for k in range(1, 16):
+        p = PARENTS[k]
+        A_rot.append(jnp.einsum("bij,bjk->bik", A_rot[p], rots[:, k],
+                                precision=lax.Precision.HIGHEST))
+        A_t.append(jnp.einsum("bij,bj->bi", A_rot[p], rel_t[k],
+                              precision=lax.Precision.HIGHEST) + A_t[p])
+    A_rot = jnp.stack(A_rot, axis=1)
+    A_t = jnp.stack(A_t, axis=1)
+
+    corr_t = A_t - jnp.einsum("bkij,bkj->bki", A_rot, j_rest,
+                              precision=lax.Precision.HIGHEST)
+    w_tips = model.weights[tip_ids]                              # (5, 16)
+    T_rot = jnp.einsum("vk,bkij->bvij", w_tips, A_rot, precision=lax.Precision.HIGHEST)
+    T_t = jnp.einsum("vk,bki->bvi", w_tips, corr_t, precision=lax.Precision.HIGHEST)
+    tips = jnp.einsum("bvij,bvj->bvi", T_rot, v_tips, precision=lax.Precision.HIGHEST) + T_t
+
+    jtr = jnp.concatenate([A_t, tips], axis=1)[:, JOINT_REORDER, :]
+    return (jtr - jtr[:, :1]) * 1000.0
+
+
+def hand_joints_meters(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.Array:
+    """Joints-only ``get_hand_verts`` analogue (meters, any leading dims)."""
+    lead = pose.shape[:-1]
+    joints = mano_fk_joints(model, pose.reshape(-1, 48), shape.reshape(-1, 10))
+    return joints.reshape(lead + (21, 3)) / 1000.0
+
+
 def hand_verts_meters(model: MANOModel, pose: jax.Array, shape: jax.Array):
     """Reference ``HeadMano.get_hand_verts`` (head_mano.py:78-87): FK / 1000.
 
