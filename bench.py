@@ -15,7 +15,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vpho_jax_cache")
 
 import jax
 import jax.numpy as jnp

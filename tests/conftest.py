@@ -13,11 +13,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/vpho_jax_cache")
-# threshold 0: compilation may be forwarded to a remote service (axon
-# remote-compile), which reports ~zero local compile time — every entry must
-# be cached or reruns pay the round-trip again
-os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+# NOTE: deliberately NO persistent compilation cache here.  The cache-key
+# computation hashes every inlined MLIR constant (MANO blend tables, YCB
+# vertex banks — megabytes) per compile, which dominates wall time on small
+# hosts and dwarfs the compile itself.
+os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import jax  # noqa: E402
 

@@ -392,6 +392,9 @@ def hoi_aggregate(
     phy_topk: int = 5,
 ) -> Dict[str, Array]:
     B = root_joint.shape[0]
+    # the stage-4 candidate set is obj_topk^2 and stage-5's is hand_topk+1;
+    # clamp the re-rank k so tiny eval configs remain valid
+    phy_topk = min(phy_topk, obj_topk * obj_topk, hand_topk + 1)
 
     # 1. hand heatmap cascade
     hand_sel = hand_heatmap_cascade(
