@@ -120,13 +120,14 @@ class TestExtraAggModes:
         bbox = jnp.concatenate([jt2d.min(1) - 5, jt2d.max(1) + 5], axis=-1)
         hm = adaptive_bbox_heatmap(jt2d, bbox, 64, 2.0)
         return dict(pose=pose, shape=shape, root_joint=root, cam_intrinsic=K,
-                    heatmap=hm, bbox=bbox, k=2, pose_regression=pose[:, 0])
+                    heatmap=hm, bbox=bbox, pose_regression=pose[:, 0])
 
     @pytest.mark.parametrize("mode", ["heatmap", "2D_pt_pose", "2D_pt_joint",
                                       "average_all", "random"])
     def test_hand_modes_run(self, mano, mode):
         kw = self._hand_inputs(mano)
-        out = jax.jit(lambda kw: agg.aggregate_hand(mode, mano, **kw))(kw)
+        # k is a static (top_k size); keep it out of the traced pytree
+        out = jax.jit(lambda kw: agg.aggregate_hand(mode, mano, k=2, **kw))(kw)
         assert out["agg_joint"].shape == (2, 21, 3)
         assert np.isfinite(np.asarray(out["agg_joint"])).all()
 
@@ -142,8 +143,7 @@ class TestExtraAggModes:
             cam_intrinsic=jnp.tile(jnp.array([[300.0, 0, 64], [0, 300.0, 64], [0, 0, 1]]), (B, 1, 1)),
             heatmap=jnp.ones((B, 27, 64, 64)),
             bbox=jnp.tile(jnp.array([10.0, 10, 110, 110]), (B, 1)),
-            k=2,
         )
-        out = jax.jit(lambda kw: agg.aggregate_obj(mode, registry, **kw))(kw)
+        out = jax.jit(lambda kw: agg.aggregate_obj(mode, registry, k=2, **kw))(kw)
         assert out["agg_6d"].shape == (B, 9)
         assert out["agg_obj_vert"].shape == (B, 2048, 3)

@@ -116,10 +116,11 @@ class TestColorAugment:
 
 class TestFilters:
     def test_hfl_filter(self):
-        ok = {"joint_2d": [[[300, 200]] * 21]}
+        pts = [[300 + 3 * i, 200 + 2 * i] for i in range(21)]
+        ok = {"joint_2d": [pts]}
         assert D.filter_hfl(ok)
+        # degenerate zero-area bbox fails (all joints identical)
         edge = {"joint_2d": [[[-500, 200]] * 21]}
-        # degenerate zero-area bbox fails
         assert not D.filter_hfl(edge)
 
 

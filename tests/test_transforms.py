@@ -44,7 +44,10 @@ class TestRotations:
         q = T.axis_angle_to_quaternion(aa)
         np.testing.assert_allclose(np.asarray(jnp.linalg.norm(q, axis=-1)), np.ones(50), atol=1e-5)
         aa2 = T.quaternion_to_axis_angle(q)
-        np.testing.assert_allclose(np.asarray(aa), np.asarray(aa2), atol=1e-4)
+        # angles may exceed 2*pi and wrap; compare as rotations
+        m1 = T.axis_angle_to_matrix(aa)
+        m2 = T.axis_angle_to_matrix(aa2)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), atol=1e-4)
 
     def test_matrix_quaternion_roundtrip(self):
         aa = rand(50, 3, seed=4) * 2.0
@@ -110,7 +113,8 @@ class TestProjection:
         pt = jax.random.normal(jax.random.PRNGKey(0), (4, 7, 21, 3)) * 0.1
         pt = pt.at[..., 2].add(1.0)
         a = T.project_points_batched(pt, K)
-        b = T.project_pt3d_to_pt2d(pt, K[:, None, None])
+        # matmul broadcast: K gets ONE extra batch dim to align with (B, 7)
+        b = T.project_pt3d_to_pt2d(pt, K[:, None])
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
     def test_inverse_project_roundtrip(self):

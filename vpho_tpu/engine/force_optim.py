@@ -34,6 +34,12 @@ TOTAL_ITERS = 3000
 LR = 1e-3
 
 
+def _safe_norm(x, axis=-1, eps=1e-12):
+    """norm with finite gradient at 0 (jnp.linalg.norm grad is NaN there —
+    with zero contact the moment is exactly 0 and would poison the params)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
 def _losses(scale, weight, contact_mask, force_contact, vert3d, gravity, com, tables):
     """One evaluation of the four loss terms (force_optimization.py:141-171)."""
     s = scale * contact_mask
@@ -42,7 +48,7 @@ def _losses(scale, weight, contact_mask, force_contact, vert3d, gravity, com, ta
         tables, force_local, vert3d)
 
     resultant = force_global.sum(1, keepdims=True) + gravity     # (bs, 1, 3)
-    force_loss = jnp.linalg.norm(resultant[:, 0], axis=-1).mean()
+    force_loss = _safe_norm(resultant[:, 0]).mean()
     sum_weight = jax.lax.stop_gradient(force_loss)
 
     total = force_global.sum(1, keepdims=True)
@@ -51,7 +57,7 @@ def _losses(scale, weight, contact_mask, force_contact, vert3d, gravity, com, ta
 
     arm = force_point - com
     moment = jnp.cross(arm, force_global).sum(1)
-    moment_loss = jnp.linalg.norm(moment, axis=-1).mean() * 30.0
+    moment_loss = _safe_norm(moment).mean() * 30.0
     moment_loss = moment_loss / (100.0 * sum_weight**2 + 1e-8)
 
     sn = s / (jax.lax.stop_gradient(jnp.linalg.norm(s, axis=-1, keepdims=True)) + 1e-8)

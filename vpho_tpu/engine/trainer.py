@@ -83,7 +83,7 @@ def make_lr_schedule(cfg: Config, steps_per_epoch: int):
         total = cfg.max_epochs * steps_per_epoch
         warm = max(int(total * 0.1), 1)
         return optax.warmup_cosine_decay_schedule(
-            init_lr=base / 25.0, peak_value=base, warmup_steps=warm,
+            init_value=base / 25.0, peak_value=base, warmup_steps=warm,
             decay_steps=total, end_value=base / 1e4,
         )
     raise ValueError(cfg.scheduler)

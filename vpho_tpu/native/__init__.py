@@ -97,7 +97,7 @@ def stamp_heatmaps(pts: np.ndarray, res: int, sigma: float) -> np.ndarray:
     grid = np.arange(res, dtype=np.float32)
     dx = grid[None] - x[:, None]
     dy = grid[None] - y[:, None]
-    win = 3 * sigma + 2.0
+    win = 3 * sigma + 1.0
     gx = np.exp(-(dx**2) / (2 * sigma**2)) * (np.abs(dx) <= win)
     gy = np.exp(-(dy**2) / (2 * sigma**2)) * (np.abs(dy) <= win)
     hm = gy[:, :, None] * gx[:, None, :]

@@ -32,9 +32,10 @@ def gaussian_heatmap(pt2d_px: jax.Array, out_res: int, sigma: float) -> jax.Arra
     grid = jnp.arange(out_res, dtype=pt2d_px.dtype)
     dx = grid - x[..., None]                 # (..., J, W)
     dy = grid - y[..., None]                 # (..., J, H)
+    # the reference stamp patch spans offsets -(3s+1)..(3s+1) inclusive
     win = 3.0 * sigma + 1.0
-    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win + 1.0)
-    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win + 1.0)
+    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win)
+    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win)
     hm = gy[..., :, None] * gx[..., None, :]  # (..., J, H, W)
     return hm * in_range[..., None, None]
 
@@ -81,7 +82,7 @@ def adaptive_bbox_heatmap(pt2d: jax.Array, bbox: jax.Array, out_res: int,
     dx = (grid - x[..., None]) * stretch[..., None, 0:1]
     dy = (grid - y[..., None]) * stretch[..., None, 1:2]
     win = 3.0 * sigma + 1.0
-    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win + 1.0)
-    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win + 1.0)
+    gx = jnp.exp(-(dx**2) / (2 * sigma**2)) * (jnp.abs(dx) <= win)
+    gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win)
     hm = gy[..., :, None] * gx[..., None, :]
     return hm * in_range[..., None, None]
