@@ -35,10 +35,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
     cfg = ModelConfig(sample_num=sample_num, sampling_steps=steps,
-                      topk_hand=30, topk_obj=10, patch_size=256)
+                      topk_hand=30, topk_obj=10, patch_size=256,
+                      compute_dtype=dtype_name)
     ctx = V.make_context(cfg)
-    model = VPHONet()
+    model = VPHONet(compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None)
 
     batch = make_batch(ctx, jax.random.PRNGKey(0), batch_size, 256)
     variables = model.init(

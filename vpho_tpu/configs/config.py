@@ -127,6 +127,7 @@ class Config:
     use_regression_as_candidate: bool = True
     # TPU-build extras (not in the reference CLI)
     ode_method: str = "rk4"
+    compute_dtype: str = "float32"
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
     models_dir: str = ""
@@ -144,6 +145,7 @@ class Config:
             topk_hand=self.topk_hand,
             topk_obj=self.topk_obj,
             ode_method=self.ode_method,
+            compute_dtype=self.compute_dtype,
             weight_diff_hand_loss=self.weight_diff_hand_loss,
             weight_diff_obj_loss=self.weight_diff_obj_loss,
             weight_hm_hand_loss=self.weight_hm_hand_loss,
@@ -256,6 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-build extras
     p.add_argument("--ode_method", type=str, default="rk4",
                    choices=["rk4", "heun", "euler"])
+    p.add_argument("--compute_dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--mano_root", type=str, default="")
     p.add_argument("--models_dir", type=str, default="")

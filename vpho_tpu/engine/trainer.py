@@ -183,7 +183,9 @@ class Trainer:
 
         self.ctx = V.make_context(cfg.to_model_config(), cfg.mano_root or None,
                                   cfg.models_dir or None)
-        self.model = VPHONet(roi_size=cfg.roi_size, heatmap_size=cfg.heatmap_size)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        self.model = VPHONet(roi_size=cfg.roi_size, heatmap_size=cfg.heatmap_size,
+                             compute_dtype=dtype)
         self.mesh = make_mesh(cfg.num_devices or None)
         self.dataset = dataset
         self.eval_dataset = eval_dataset

@@ -30,24 +30,26 @@ class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        d = self.dtype
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=kaiming)(x)
-        out = TorchBatchNorm(use_running_average=not train)(out)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, kernel_init=kaiming, dtype=d)(x)
+        out = TorchBatchNorm(use_running_average=not train, dtype=d)(out)
         out = lrelu(out)
         out = nn.Conv(self.planes, (3, 3), strides=self.stride, padding=1,
-                      use_bias=False, kernel_init=kaiming)(out)
-        out = TorchBatchNorm(use_running_average=not train)(out)
+                      use_bias=False, kernel_init=kaiming, dtype=d)(out)
+        out = TorchBatchNorm(use_running_average=not train, dtype=d)(out)
         out = lrelu(out)
-        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, kernel_init=kaiming)(out)
-        out = TorchBatchNorm(use_running_average=not train)(out)
+        out = nn.Conv(self.planes * 4, (1, 1), use_bias=False, kernel_init=kaiming, dtype=d)(out)
+        out = TorchBatchNorm(use_running_average=not train, dtype=d)(out)
         if self.downsample:
             residual = nn.Conv(self.planes * 4, (1, 1), strides=self.stride,
-                               use_bias=False, kernel_init=kaiming)(x)
-            residual = TorchBatchNorm(use_running_average=not train)(residual)
-        return lrelu(out + residual)
+                               use_bias=False, kernel_init=kaiming, dtype=d)(x)
+            residual = TorchBatchNorm(use_running_average=not train, dtype=d)(residual)
+        return lrelu(out + residual.astype(out.dtype))
 
 
 class ResLayer(nn.Module):
@@ -56,23 +58,27 @@ class ResLayer(nn.Module):
     planes: int
     blocks: int
     stride: int = 1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = Bottleneck(self.planes, stride=self.stride, downsample=True)(x, train=train)
+        x = Bottleneck(self.planes, stride=self.stride, downsample=True,
+                       dtype=self.dtype)(x, train=train)
         for _ in range(1, self.blocks):
-            x = Bottleneck(self.planes)(x, train=train)
+            x = Bottleneck(self.planes, dtype=self.dtype)(x, train=train)
         return x
 
 
 class Stem(nn.Module):
     """conv7x7/s2 + BN + LReLU + maxpool3/s2."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    kernel_init=kaiming)(x)
-        x = TorchBatchNorm(use_running_average=not train)(x)
+                    kernel_init=kaiming, dtype=self.dtype)(x)
+        x = TorchBatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = lrelu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         return x
@@ -96,17 +102,21 @@ class FPNBackbone(nn.Module):
     Output: (p2_hand, p2_obj), each (B, 64, 64, 256).
     """
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = False):
-        t = train
-        c1 = Stem(name="stem")(x, train=t)                       # (B, 64, 64, 64)
-        c2 = ResLayer(64, 3, name="layer1")(c1, train=t)          # (B, 64, 64, 256)
-        layer4 = ResLayer(512, 3, stride=2, name="layer4")
+        t, d = train, self.dtype
+        if d is not None:
+            x = x.astype(d)
+        c1 = Stem(name="stem", dtype=d)(x, train=t)               # (B, 64, 64, 64)
+        c2 = ResLayer(64, 3, name="layer1", dtype=d)(c1, train=t)  # (B, 64, 64, 256)
+        layer4 = ResLayer(512, 3, stride=2, name="layer4", dtype=d)
 
-        c3_h = ResLayer(128, 4, stride=2, name="layer2_h")(c2, train=t)
-        c3_o = ResLayer(128, 4, stride=2, name="layer2_o")(c2, train=t)
-        c4_h = ResLayer(256, 6, stride=2, name="layer3_h")(c3_h, train=t)
-        c4_o = ResLayer(256, 6, stride=2, name="layer3_o")(c3_o, train=t)
+        c3_h = ResLayer(128, 4, stride=2, name="layer2_h", dtype=d)(c2, train=t)
+        c3_o = ResLayer(128, 4, stride=2, name="layer2_o", dtype=d)(c2, train=t)
+        c4_h = ResLayer(256, 6, stride=2, name="layer3_h", dtype=d)(c3_h, train=t)
+        c4_o = ResLayer(256, 6, stride=2, name="layer3_o", dtype=d)(c3_o, train=t)
         c5_h = layer4(c4_h, train=t)
         c5_o = layer4(c4_o, train=t)  # shared weights (backbone_FPN_HFL.py:85-86)
 
@@ -124,4 +134,5 @@ class FPNBackbone(nn.Module):
 
         p2_h = nn.Conv(256, (3, 3), padding=1, name="smooth3_h")(p2_h)
         p2_o = nn.Conv(256, (3, 3), padding=1, name="smooth3_o")(p2_o)
-        return p2_h, p2_o
+        # FPN heads consume f32 features (ROI sampling + losses)
+        return p2_h.astype(jnp.float32), p2_o.astype(jnp.float32)

@@ -17,7 +17,7 @@ the optimizer never sees them.
 from __future__ import annotations
 
 import math
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax
@@ -43,6 +43,7 @@ class ParallelLinear(nn.Module):
     features: int
     num: int
     zero_init: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -58,6 +59,8 @@ class ParallelLinear(nn.Module):
             )
         w = self.param("kernel", w_init, (self.num, in_features, self.features))
         b = self.param("bias", b_init, (self.num, self.features))
+        if self.dtype is not None:
+            x, w, b = x.astype(self.dtype), w.astype(self.dtype), b.astype(self.dtype)
         if x.ndim == 2:
             y = jnp.einsum("bc,ncd->bnd", x, w) + b
         else:
@@ -97,22 +100,26 @@ class Dense(nn.Dense):
 class ManoPoseHead(nn.Module):
     """32-bank parallel head -> 16x rot6d = 96 dims (ManoPoseHead2, :166-179)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, feat: jax.Array) -> jax.Array:
-        x = ParallelLinear(features=256, num=32)(feat)
+        x = ParallelLinear(features=256, num=32, dtype=self.dtype)(feat)
         x = nn.relu(x)
-        x = ParallelLinear(features=3, num=32, zero_init=True)(x)
+        x = ParallelLinear(features=3, num=32, zero_init=True, dtype=self.dtype)(x)
         return x.reshape(x.shape[0], 96)
 
 
 class ObjHead(nn.Module):
     """3-bank parallel head -> 9 dims rot6d+trans (ObjHead2, :234-247)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, feat: jax.Array) -> jax.Array:
-        x = ParallelLinear(features=256, num=3)(feat)
+        x = ParallelLinear(features=256, num=3, dtype=self.dtype)(feat)
         x = nn.relu(x)
-        x = ParallelLinear(features=3, num=3, zero_init=True)(x)
+        x = ParallelLinear(features=3, num=3, zero_init=True, dtype=self.dtype)(x)
         return x.reshape(x.shape[0], 9)
 
 
@@ -127,6 +134,7 @@ class Denoiser(nn.Module):
     """
 
     head: str = "mano_pose"
+    dtype: Any = None
 
     @property
     def out_dim(self) -> int:
@@ -148,9 +156,10 @@ class Denoiser(nn.Module):
         total_feat = jnp.concatenate([t_feat, pose_feat, feat], axis=-1)
 
         if self.head == "mano_pose":
-            out = ManoPoseHead()(total_feat)
+            out = ManoPoseHead(dtype=self.dtype)(total_feat)
         elif self.head == "obj":
-            out = ObjHead()(total_feat)
+            out = ObjHead(dtype=self.dtype)(total_feat)
         else:
             raise NotImplementedError(self.head)
-        return out / (std + 1e-7)
+        # the score divides by std and feeds the ODE integrator: f32 out
+        return out.astype(jnp.float32) / (std + 1e-7)

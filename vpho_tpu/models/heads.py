@@ -141,14 +141,15 @@ class CrossModule(nn.Module):
 
     hid_dim: int = 512
     num_force: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x_hand, x_obj, gravity, train: bool = False):
         B, H, W, C = x_hand.shape
         proj_dim = int(self.hid_dim / (H * W / self.num_force))
         kinit = nn.initializers.kaiming_normal()
-        ph = nn.Conv(proj_dim, (3, 3), padding=1, kernel_init=kinit)(x_hand)
-        po = nn.Conv(proj_dim, (3, 3), padding=1, kernel_init=kinit)(x_obj)
+        ph = nn.Conv(proj_dim, (3, 3), padding=1, kernel_init=kinit, dtype=self.dtype)(x_hand)
+        po = nn.Conv(proj_dim, (3, 3), padding=1, kernel_init=kinit, dtype=self.dtype)(x_obj)
         # channel-major (B, C, H, W).view(B, 32, -1) token grouping
         tok_h = jnp.transpose(ph, (0, 3, 1, 2)).reshape(B, self.num_force, self.hid_dim)
         tok_o = jnp.transpose(po, (0, 3, 1, 2)).reshape(B, self.num_force, self.hid_dim)
@@ -160,9 +161,11 @@ class CrossModule(nn.Module):
 
         x = jnp.concatenate([tok_h, tok_o, g], axis=1)          # (B, 65, hid)
         pe = sinusoid_table(x.shape[1], self.hid_dim, x.dtype)
-        x = x + pe[None]
+        x = x + pe[None].astype(x.dtype)
         x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = TransformerEncoderLayer(d_model=self.hid_dim, n_heads=2)(x, train=train)
+        x = TransformerEncoderLayer(d_model=self.hid_dim, n_heads=2,
+                                    dtype=self.dtype)(x, train=train)
+        x = x.astype(jnp.float32)  # physics head consumes f32 tokens
         y_hand, y_obj, y_gravity = jnp.split(x, [self.num_force, 2 * self.num_force], axis=1)
         return y_hand, y_obj, y_gravity
 

@@ -31,15 +31,19 @@ def lrelu(x):
 
 
 class TorchBatchNorm(nn.Module):
-    """BatchNorm with torch defaults; NHWC channel-last axis."""
+    """BatchNorm with torch defaults; NHWC channel-last axis.
+
+    ``dtype`` is the computation dtype (bf16 policy); params/stats stay f32.
+    """
 
     use_running_average: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.BatchNorm(
             use_running_average=self.use_running_average,
-            momentum=0.9, epsilon=1e-5,
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype,
         )(x)
 
 
@@ -51,23 +55,25 @@ class Residual(nn.Module):
     """
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         num_in = x.shape[-1]
-        h = TorchBatchNorm(use_running_average=not train)(x)
+        d = self.dtype
+        h = TorchBatchNorm(use_running_average=not train, dtype=d)(x)
         h = lrelu(h)
-        h = nn.Conv(self.features // 2, (1, 1), kernel_init=conv_init)(h)
-        h = TorchBatchNorm(use_running_average=not train)(h)
+        h = nn.Conv(self.features // 2, (1, 1), kernel_init=conv_init, dtype=d)(h)
+        h = TorchBatchNorm(use_running_average=not train, dtype=d)(h)
         h = lrelu(h)
-        h = nn.Conv(self.features // 2, (3, 3), padding=1, kernel_init=conv_init)(h)
-        h = TorchBatchNorm(use_running_average=not train)(h)
+        h = nn.Conv(self.features // 2, (3, 3), padding=1, kernel_init=conv_init, dtype=d)(h)
+        h = TorchBatchNorm(use_running_average=not train, dtype=d)(h)
         h = lrelu(h)
-        h = nn.Conv(self.features, (1, 1), kernel_init=conv_init)(h)
+        h = nn.Conv(self.features, (1, 1), kernel_init=conv_init, dtype=d)(h)
         skip = x
         if num_in != self.features:
-            skip = nn.Conv(self.features, (1, 1), kernel_init=conv_init)(x)
-        return h + skip
+            skip = nn.Conv(self.features, (1, 1), kernel_init=conv_init, dtype=d)(x)
+        return (h + skip.astype(h.dtype))
 
 
 class Encoder(nn.Module):
@@ -82,14 +88,15 @@ class Encoder(nn.Module):
     hid_dim: int = 256
     n_blocks: int = 4
     n_modules: int = 2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.hid_dim, (1, 1), kernel_init=conv_init)(x)
+        x = nn.Conv(self.hid_dim, (1, 1), kernel_init=conv_init, dtype=self.dtype)(x)
         x_ls = []
         for _ in range(self.n_blocks):
             for _ in range(self.n_modules):
-                x = Residual(self.hid_dim)(x, train=train)
+                x = Residual(self.hid_dim, dtype=self.dtype)(x, train=train)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
             x_ls.append(x)
         # channel-major flatten of (B, 2, 2, C) to match torch's (B, C*2*2)
@@ -107,19 +114,23 @@ class HeadHeatmap(nn.Module):
 
     out_dim: int
     hidden_dim: int = 256
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init)(x)
-        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init)(x)
-        x = TorchBatchNorm(use_running_average=not train)(x)
+        d = self.dtype
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init, dtype=d)(x)
+        x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init, dtype=d)(x)
+        x = TorchBatchNorm(use_running_average=not train, dtype=d)(x)
         x = lrelu(x)
         x = nn.ConvTranspose(self.hidden_dim // 2, (4, 4), strides=(2, 2),
                              padding="SAME", use_bias=False,
-                             kernel_init=conv_init)(x)
-        x = TorchBatchNorm(use_running_average=not train)(x)
+                             kernel_init=conv_init, dtype=d)(x)
+        x = TorchBatchNorm(use_running_average=not train, dtype=d)(x)
         x = nn.relu(x)
-        x = nn.Conv(self.out_dim, (1, 1), kernel_init=conv_init)(x)
+        # final logits in f32 (heatmaps feed losses/aggregation directly)
+        x = nn.Conv(self.out_dim, (1, 1), kernel_init=conv_init,
+                    dtype=jnp.float32)(x.astype(jnp.float32))
         return x
 
 
@@ -169,12 +180,13 @@ class TransformerEncoderLayer(nn.Module):
     n_heads: int = 2
     d_ff: int = 2048
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.n_heads, qkv_features=self.d_model,
-            deterministic=not train, dropout_rate=self.dropout,
+            deterministic=not train, dropout_rate=self.dropout, dtype=self.dtype,
         )(x, x)
         x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
         ff = nn.Dense(self.d_ff)(x)

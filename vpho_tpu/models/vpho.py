@@ -59,6 +59,7 @@ class ModelConfig:
     topk_hand: int = 15
     topk_obj: int = 5
     ode_method: str = "rk4"
+    compute_dtype: str = "float32"  # "bfloat16" for the bf16 trunk policy
     # loss weights (argparse defaults, lib/configs/args.py:202-223)
     weight_diff_hand_loss: float = 1.0
     weight_diff_obj_loss: float = 1.0
@@ -97,23 +98,31 @@ def make_context(cfg: ModelConfig | None = None, mano_root: str | None = None,
 
 
 class VPHONet(nn.Module):
-    """All trainable modules of vpho_net (VPHO.py:48-88)."""
+    """All trainable modules of vpho_net (VPHO.py:48-88).
+
+    ``compute_dtype``: None (f32) or e.g. jnp.bfloat16 for the conv trunk /
+    encoder / cross-module / denoiser matmuls.  Params stay f32; every
+    module casts back to f32 at interface boundaries (heatmap logits,
+    encodings feeding geometry, scores feeding the ODE).
+    """
 
     roi_size: int = 32
     heatmap_size: int = 64
+    compute_dtype: Any = None
 
     def setup(self):
-        self.feature_extractor = FPNBackbone()
-        self.head_hm_hand = HeadHeatmap(21)
-        self.head_hm_obj = HeadHeatmap(27)
-        self.encoder_hand = Encoder(256)
-        self.encoder_obj = Encoder(256)
+        d = self.compute_dtype
+        self.feature_extractor = FPNBackbone(dtype=d)
+        self.head_hm_hand = HeadHeatmap(21, dtype=d)
+        self.head_hm_obj = HeadHeatmap(27, dtype=d)
+        self.encoder_hand = Encoder(256, dtype=d)
+        self.encoder_obj = Encoder(256, dtype=d)
         self.head_mano = heads.HeadMano()
-        self.cross_hand = heads.CrossModule(hid_dim=512)
-        self.cross_obj = heads.CrossModule(hid_dim=512)
+        self.cross_hand = heads.CrossModule(hid_dim=512, dtype=d)
+        self.cross_obj = heads.CrossModule(hid_dim=512, dtype=d)
         self.head_physics = heads.HeadPhysics(hid_dim=512)
-        self.denoiser_hand = Denoiser(head="mano_pose")
-        self.denoiser_obj = Denoiser(head="obj")
+        self.denoiser_hand = Denoiser(head="mano_pose", dtype=d)
+        self.denoiser_obj = Denoiser(head="obj", dtype=d)
 
     def align_hm_to_bbox_rectangle(self, hm: Array, bbox: Array, bbox_rect: Array) -> Array:
         """Resample a tight-bbox heatmap onto the rectangular-bbox frame
@@ -174,6 +183,10 @@ class VPHONet(nn.Module):
             [of_or_rect, jnp.transpose(pd_hm_obj_rs, (0, 2, 3, 1))], axis=-1)
         encoding_hand, enc_hand_ls = self.encoder_hand(enc_in_hand, train=train)  # (B, 1024)
         encoding_obj, enc_obj_ls = self.encoder_obj(enc_in_obj, train=train)
+        encoding_hand = encoding_hand.astype(jnp.float32)
+        encoding_obj = encoding_obj.astype(jnp.float32)
+        enc_hand_ls = [e.astype(jnp.float32) for e in enc_hand_ls]
+        enc_obj_ls = [e.astype(jnp.float32) for e in enc_obj_ls]
 
         pd_mano_pose, pd_mano_shape = self.head_mano(encoding_hand)
 
