@@ -154,7 +154,8 @@ class VPHONet(nn.Module):
 
         rs = self.roi_size
         hf_hr = roi_align(hand_feat, data["bbox_hand"], rs)
-        of_or = roi_align(obj_feat, data["bbox_obj"], rs)
+        # NOTE: the reference also crops the tight object bbox (of_or,
+        # VPHO.py:126) but only reads its SHAPE; we skip the dead roi_align
         hf_hr_rect = roi_align(hand_feat, data["bbox_hand_rect"], rs)
         of_or_rect = roi_align(obj_feat, data["bbox_obj_rect"], rs)
 
