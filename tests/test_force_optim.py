@@ -17,7 +17,7 @@ def setup():
     pose = jax.random.normal(jax.random.PRNGKey(0), (B, 48)) * 0.2
     vert, _ = hand_verts_meters(mano, pose, jnp.zeros((B, 10)))
     contact = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (B, 32))) * 0.5
-    gravity = jnp.tile(jnp.array([[0.0, 9.8, 0.0]]), (B, 1))[:, None]
+    gravity = jnp.tile(jnp.array([[0.0, 1.0, 0.0]]), (B, 1))[:, None]
     com = vert.mean(1, keepdims=True) + jnp.array([0.0, 0.0, 0.02])
     return tables, vert, contact, gravity, com
 

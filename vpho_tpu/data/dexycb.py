@@ -284,8 +284,8 @@ class DexYCBForceDataset:
             nearest = self.date_ls[mask].max() if mask.any() else self.date_ls.min()
             extr = self.date2extr[nearest][d[-2]]
             return (g @ extr[:3, :3]).reshape(1, 3)
-        self._warn_once("gravity", "gravity assets missing; using camera-down [0, 9.8, 0]")
-        return np.array([[0.0, 9.8, 0.0]])
+        self._warn_once("gravity", "gravity assets missing; using camera-down unit [0, 1, 0]")
+        return np.array([[0.0, 1.0, 0.0]])
 
     def get_force(self, color_file: str):
         p = os.path.join(self.data_dir, "cache", "hand_force",

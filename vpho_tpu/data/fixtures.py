@@ -92,7 +92,8 @@ def _make_batch_impl(ctx, key: jax.Array, batch_size: int = 2, patch_size: int =
     hm_hand = adaptive_bbox_heatmap(jt2d, bbox_hand, heatmap_size, 2.0)
     hm_obj = square_bbox_heatmap(kpt2d, bbox_obj, heatmap_size, 2.0)
 
-    gravity = jnp.tile(jnp.array([0.0, 9.8, 0.0]), (B, 1, 1))
+    # unit gravity DIRECTION (the reference gravity assets are unit vectors)
+    gravity = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (B, 1, 1))
     force_local = jax.random.normal(keys[7], (B, 32, 3)) * 0.1
 
     rgb = jax.random.normal(keys[8], (B, patch_size, patch_size, 3)) * 0.5
