@@ -139,3 +139,38 @@ class TestTesters:
         valid = np.array([True, True, False, False])
         t.add_batch(j, pd, v, v, np.ones(4, bool), valid=valid)
         assert abs(t.result()["MJE"]["both"]) < 1e-6
+
+
+class TestSMCE:
+    def test_identity_fallback_equals_mce(self, registry):
+        """Without the BOP asset, SMCE reduces to MCE exactly."""
+        from vpho_tpu.engine.metrics import load_bop_symmetries, smce
+
+        R, t = load_bop_symmetries(path="/nonexistent.json")
+        assert R.shape == (21, 1, 3, 3)
+        ids = jnp.array([0, 3])
+        gt = jnp.tile(jnp.eye(3, 4), (2, 1, 1)).at[:, 2, 3].add(0.6)
+        pd = gt.at[:, 0, 3].add(0.01)
+        K = jnp.tile(jnp.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]]), (2, 1, 1))
+        out = M.object_metrics(registry, pd, gt, ids, K)
+        s = smce(registry, R, t, pd, gt, ids)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(out["MCE"]), atol=1e-6)
+
+    def test_symmetry_reduces_error(self, registry):
+        """With a 180-deg z symmetry in the bank, a 180-deg-rotated prediction
+        scores (near) zero SMCE while MCE is large."""
+        from vpho_tpu.engine.metrics import smce
+        from vpho_tpu.utils import transforms as T
+
+        ids = jnp.array([0])
+        gt = jnp.tile(jnp.eye(3, 4), (1, 1, 1)).at[:, 2, 3].add(0.6)
+        Rz = np.array([[-1.0, 0, 0], [0, -1.0, 0], [0, 0, 1.0]])
+        pd = jnp.asarray(np.concatenate([Rz, [[0], [0], [0.6]]], axis=1))[None]
+        sym_R = np.tile(np.eye(3), (21, 2, 1, 1))
+        sym_R[:, 1] = Rz
+        sym_t = np.zeros((21, 2, 3))
+        s = smce(registry, sym_R, sym_t, pd, gt, ids)
+        K = jnp.tile(jnp.array([[500.0, 0, 128], [0, 500.0, 128], [0, 0, 1]]), (1, 1, 1))
+        out = M.object_metrics(registry, pd, gt, ids, K)
+        assert float(s[0]) < 1e-5
+        assert float(out["MCE"][0]) > 0.01

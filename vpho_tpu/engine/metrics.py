@@ -69,6 +69,80 @@ def hand_metrics(gt_joint: Array, pd_joint: Array, gt_vert: Array, pd_vert: Arra
     return {"MJE": mje, "PA_MJE": pa_mje, "JE": je, "MVE": mve, "PAMVE": pa_mve}
 
 
+def load_bop_symmetries(path: str = "asset/2023_NIPS_DeepSimHO/assets_models_info.json",
+                        max_sym_disc_step: float = 0.01):
+    """BOP symmetry transform banks per YCB class (test.py:103-150, 202-227).
+
+    Returns (R, t): (21, S, 3, 3) and (21, S, 3) numpy arrays padded with
+    identities; identity-only when the asset json is absent (then
+    SMCE == MCE, matching the reference's disabled-by-default behavior).
+    """
+    import json as _json
+    import math as _math
+    import os as _os
+
+    import numpy as _np
+
+    if not _os.path.exists(path):
+        R = _np.tile(_np.eye(3), (21, 1, 1, 1))
+        t = _np.zeros((21, 1, 3))
+        return R, t
+    info = _json.load(open(path))
+    banks = []
+    for obj_idx in range(1, 22):
+        mi = info[str(obj_idx)]
+        trans_disc = [(_np.eye(3), _np.zeros(3))]
+        for sym in mi.get("symmetries_discrete", []):
+            m = _np.reshape(sym, (4, 4))
+            trans_disc.append((m[:3, :3], m[:3, 3]))
+        trans_cont = []
+        for sym in mi.get("symmetries_continuous", []):
+            axis = _np.asarray(sym["axis"], float)
+            offset = _np.asarray(sym["offset"], float)
+            steps = int(_np.ceil(_np.pi / max_sym_disc_step))
+            dstep = 2 * _np.pi / steps
+            for i in range(1, steps):
+                a = i * dstep
+                k = axis / _np.linalg.norm(axis)
+                K = _np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+                Rr = _np.eye(3) + _math.sin(a) * K + (1 - _math.cos(a)) * (K @ K)
+                trans_cont.append((Rr, -Rr @ offset + offset))
+        bank = []
+        for Rd, td in trans_disc:
+            if trans_cont:
+                for Rc, tc in trans_cont:
+                    bank.append((Rc @ Rd, Rc @ td + tc))
+            else:
+                bank.append((Rd, td))
+        banks.append(bank)
+    S = max(len(b) for b in banks)
+    R = _np.tile(_np.eye(3), (21, S, 1, 1))
+    t = _np.zeros((21, S, 3))
+    for i, b in enumerate(banks):
+        for j, (Rj, tj) in enumerate(b):
+            R[i, j] = Rj
+            t[i, j] = tj / 1000.0  # mm -> m (test.py:224)
+    return R, t
+
+
+def smce(registry: YCBRegistry, sym_R: Array, sym_t: Array, pd_rt: Array,
+         gt_rt: Array, obj_ids: Array) -> Array:
+    """Symmetry-aware MCE: min over symmetry transforms of the bbox-corner
+    error (criterion_SMCE, test.py:377-398).  sym_R/sym_t from
+    ``load_bop_symmetries``.  Note the reference computes but never reports
+    this in its live loop ("very slow", test.py:258) — provided for parity.
+    """
+    kpt = jnp.take(registry.kpt3d, obj_ids, axis=0)
+    bbox8 = kpt[:, BBOX8_IN_KPT27]                               # (N, 8, 3)
+    R = jnp.take(jnp.asarray(sym_R, jnp.float32), obj_ids, axis=0)  # (N, S, 3, 3)
+    t = jnp.take(jnp.asarray(sym_t, jnp.float32), obj_ids, axis=0)  # (N, S, 3)
+    sym_b = jnp.einsum("nki,nsji->nskj", bbox8, R, precision=_HI) + t[:, :, None]
+    gt_b = _apply_rt(sym_b, gt_rt[:, None])                      # (N, S, 8, 3)
+    pd_b = _apply_rt(bbox8, pd_rt)                               # (N, 8, 3)
+    err = jnp.linalg.norm(pd_b[:, None] - gt_b, axis=-1).mean(-1)  # (N, S)
+    return err.min(-1)
+
+
 def object_metrics(registry: YCBRegistry, pd_rt: Array, gt_rt: Array,
                    obj_ids: Array, cam_intr: Array) -> Dict[str, Array]:
     """Per-sample object criteria (TesterObject, test.py:354-520).

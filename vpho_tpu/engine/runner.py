@@ -94,4 +94,15 @@ def run(cfg: Config):
     elif cfg.mode == "infer":
         out = trainer.evaluate(get_eval(True))
         trainer.dump_predictions(out["collector_res"], tag="-infer")
+        if cfg.dataset_name == "ho3d":
+            # codalab submission zip (train_diff_hand_obj.py:416-435)
+            from ..data.ho3d import dump_codalab
+
+            joints = np.concatenate(
+                [r["pd_hand_joint"] for r in out["collector_res"]], axis=0)
+            verts = np.concatenate(
+                [np.asarray(r["pd_hand_vert"], np.float32)
+                 for r in out["collector_res"]], axis=0)
+            zip_path = dump_codalab(joints, verts, trainer.save_dir)
+            log.info(f"codalab submission: {zip_path}")
     return trainer
