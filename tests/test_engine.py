@@ -131,3 +131,38 @@ class TestRunnerSmoke:
         # prediction dump written
         files = [f for f in os.listdir(trainer.save_dir) if f.startswith("my-prediction")]
         assert files, os.listdir(trainer.save_dir)
+
+
+class TestEvalPathRescore:
+    def test_rescore_dump(self, tmp_path, ctx):
+        import pickle
+
+        from vpho_tpu.engine.tester import evaluate_prediction_pkl
+
+        rt = np.tile(np.eye(3, 4, dtype=np.float32), (3, 1, 1))
+        rt[:, 2, 3] += 0.6
+        rows = [{
+            "pd_obj_rt": rt, "gt_obj_rt": rt,
+            "obj_id": np.array([0, 1, 2]),
+            "pd_hand_vert": np.zeros((3, 778, 3), np.float16),
+            "pd_hand_joint": np.zeros((3, 21, 3), np.float32),
+        }]
+        p = tmp_path / "my-prediction_align-test.pkl"
+        with open(p, "wb") as f:
+            pickle.dump(rows, f)
+        report = evaluate_prediction_pkl(str(p), ctx.registry)
+        assert report["ADD"]["average_instance"] == 0.0
+
+
+class TestVizInEval:
+    def test_eval_writes_viz(self, tmp_path, cfg):
+        import dataclasses
+        import os
+
+        c = dataclasses.replace(cfg, mode="eval", output_dir=str(tmp_path),
+                                eval_batch_size=4, batch_size=4, viz_freq=1)
+        from vpho_tpu.engine.runner import run
+
+        trainer = run(c)
+        viz_dir = os.path.join(trainer.save_dir, "viz")
+        assert os.path.isdir(viz_dir) and len(os.listdir(viz_dir)) >= 2

@@ -52,6 +52,16 @@ def _has_real_data(cfg: Config) -> bool:
 
 
 def run(cfg: Config):
+    if cfg.eval_path:
+        # re-score a previously dumped prediction pkl (reference eval_path)
+        from ..models.ycb import load_registry
+        from .tester import evaluate_prediction_pkl
+
+        report = evaluate_prediction_pkl(cfg.eval_path, load_registry(cfg.models_dir or None))
+        for k, v in report.items():
+            print(k, v)
+        return report
+
     trainer = Trainer(cfg)
     log = trainer.logger
 

@@ -127,3 +127,28 @@ class TesterObject:
                     fmt[name] = v
             out[key] = fmt
         return out
+
+
+def evaluate_prediction_pkl(path: str, registry: YCBRegistry):
+    """Re-score a dumped ``my-prediction_align-*.pkl`` (reference allows
+    passing a pkl path to the testers, test.py:237-239 / 598-600).
+
+    The dump rows carry pd_obj_rt / gt_obj_rt / obj_id (trainer.evaluate);
+    returns the TesterObject report.  Hand re-scoring requires gt hand
+    fields, included when the dump was produced by this framework's eval.
+    """
+    import pickle
+
+    with open(path, "rb") as f:
+        rows = pickle.load(f)
+    t_obj = TesterObject(registry)
+    # camera intrinsics are not part of the reference dump; REP-family
+    # criteria are computed with a nominal K (they are reported but marked)
+    import numpy as _np
+
+    for r in rows:
+        n = r["pd_obj_rt"].shape[0]
+        K = _np.tile(_np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]],
+                               _np.float32), (n, 1, 1))
+        t_obj.add_batch(r["pd_obj_rt"], r["gt_obj_rt"], r["obj_id"], r.get("cam_intr", K))
+    return t_obj.report()

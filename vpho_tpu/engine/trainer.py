@@ -342,6 +342,33 @@ class Trainer:
                 "obj_id": np.asarray(jbatch["obj_id"]),
             })
 
+            if self.cfg.viz_freq > 0 and i % self.cfg.viz_freq == 0:
+                # Batch3D pkl dumps (train_diff_hand_obj.py:272-329)
+                from . import viz
+
+                try:
+                    obj_id0 = int(np.asarray(jbatch["obj_id"])[0])
+                    gt_obj_vert0 = np.asarray(
+                        self.ctx.registry.verts_sampled[obj_id0])
+                    gt_rt0 = np.asarray(jbatch["gt_obj_rt"][0])
+                    viz.save_viz_hand(
+                        self.save_dir, i,
+                        gt_vert=np.asarray(gt_vert[0]),
+                        gt_obj_vert=gt_obj_vert0 @ gt_rt0[:, :3].T + gt_rt0[:, 3],
+                        pd_vert_reg=np.asarray(pd_vert_reg[0]),
+                        pd_vert_diff=np.asarray(postprocess_hand_vert(
+                            pd["diff_final_hand_vert"], root, is_right)[0]),
+                        pd_vert_agg=np.asarray(pd_vert_agg[0]))
+                    viz.save_viz_obj(
+                        self.save_dir, i, self.ctx.registry, obj_id0,
+                        gt_rt=gt_rt0,
+                        pd_rt_cands=np.asarray(postprocess_obj_rt(
+                            pd["diff_final_obj_6d"], root)[0]),
+                        pd_rt_agg=np.asarray(pd_rt_agg[0]),
+                        gt_hand=np.asarray(gt_vert[0]))
+                except Exception as e:  # viz must never break eval
+                    self.logger.warning(f"viz dump failed: {e}")
+
         report = {
             "hand": {k: t.report_mm() for k, t in testers_hand.items()},
             "object": {k: t.report() for k, t in testers_obj.items()},
