@@ -135,3 +135,49 @@ class TestResize:
         theirs = F.interpolate(torch.from_numpy(img), size=(64, 64), mode="bilinear",
                                align_corners=False).numpy()
         np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+class TestHostHeatmapTwins:
+    def test_square_np_matches_jax(self):
+        from vpho_tpu.ops.heatmap import square_bbox_heatmap_np
+
+        pt2d = np.array([[100.0, 100.0], [150.0, 120.0]], np.float32)
+        bbox = np.array([80.0, 80.0, 208.0, 208.0], np.float32)
+        got = square_bbox_heatmap_np(pt2d, bbox, 64, 2.0)
+        ref = np.asarray(square_bbox_heatmap(
+            jnp.asarray(pt2d)[None], jnp.asarray(bbox)[None], 64, 2.0))[0]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    def test_adaptive_np_close_to_jax(self):
+        """np twin runs the exact stamp+cv2-resize reference pipeline; the
+        jax version is its analytic limit — peaks must coincide and values
+        agree to resize-interpolation tolerance."""
+        from vpho_tpu.ops.heatmap import adaptive_bbox_heatmap_np
+
+        pt2d = np.array([[100.0, 100.0], [130.0, 110.0]], np.float32)
+        bbox = np.array([80.0, 90.0, 208.0, 154.0], np.float32)  # w=128 h=64
+        got = adaptive_bbox_heatmap_np(pt2d, bbox, 64, 2.0)
+        ref = np.asarray(adaptive_bbox_heatmap(
+            jnp.asarray(pt2d)[None], jnp.asarray(bbox)[None], 64, 2.0))[0]
+        assert got.shape == ref.shape == (2, 64, 64)
+        for j in range(2):
+            pg = np.unravel_index(got[j].argmax(), got[j].shape)
+            pr = np.unravel_index(ref[j].argmax(), ref[j].shape)
+            assert abs(pg[0] - pr[0]) <= 1 and abs(pg[1] - pr[1]) <= 1
+        np.testing.assert_allclose(got, ref, atol=0.25)
+
+
+class TestAnchorNumpyTwins:
+    def test_pool_and_grasp_match(self):
+        import jax
+
+        from vpho_tpu.models import anchor as A
+        from vpho_tpu.models.mano import synthetic_mano
+
+        tables = A.load_anchor_tables(synthetic_mano())
+        contact = np.abs(np.random.RandomState(0).randn(778)).astype(np.float32)
+        got = A.pool_contact_to_anchors_np(tables, contact)
+        ref = np.asarray(A.pool_contact_to_anchors(tables, jnp.asarray(contact)))
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        assert A.check_is_grasped_np(got) == bool(
+            A.check_is_grasped(jnp.asarray(ref)))

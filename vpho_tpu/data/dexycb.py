@@ -40,7 +40,7 @@ from ..configs.config import Config
 from ..models import anchor as anchor_lib
 from ..models.mano import MANOModel, load_mano, mano_fk
 from ..models.ycb import YCB_CLASSES, YCBRegistry, load_registry
-from ..ops.heatmap import adaptive_bbox_heatmap, square_bbox_heatmap
+from ..ops.heatmap import adaptive_bbox_heatmap_np, square_bbox_heatmap_np
 from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
 
 
@@ -305,8 +305,10 @@ class DexYCBForceDataset:
         physics_fn.py:96-112 on vertex-to-surface distances)."""
         verts = np.asarray(self.registry.verts_sampled[obj_id])
         obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
-        d2 = ((hand_vert[:, None] - obj_cam[None]) ** 2).sum(-1)
-        dist = np.sqrt(d2.min(-1))
+        from ..native import min_dist as _native_min_dist
+
+        dist, _ = _native_min_dist(hand_vert.astype(np.float32),
+                                   obj_cam.astype(np.float32))
         lo, hi = self.cfg.contact_normal_distance_thresh if hasattr(
             self.cfg, "contact_normal_distance_thresh") else (-0.01, 0.01)
         contact = np.clip(1.0 - dist / max(hi, 1e-3), 0.0, 1.0)
@@ -349,12 +351,11 @@ class DexYCBForceDataset:
 
         gravity = self.get_gravity(sample["color_file"]).astype(np.float32)
 
-        # contact -> anchors -> is_grasped
+        # contact -> anchors -> is_grasped (host-side numpy)
         gt_vert0, _ = get_hand_vert(aa_flat, beta, global_rot, transl, is_right)
         contact = self.get_contact(sample["color_file"], gt_vert0, obj_id, obj_rt)
-        force_contact = np.asarray(anchor_lib.pool_contact_to_anchors(
-            self.tables, jnp.asarray(contact)))
-        is_grasped = bool(anchor_lib.check_is_grasped(jnp.asarray(force_contact)))
+        force_contact = anchor_lib.pool_contact_to_anchors_np(self.tables, contact)
+        is_grasped = anchor_lib.check_is_grasped_np(force_contact)
         force_local = self.get_force(sample["color_file"])
 
         # spatial augmentation with bbox-in-frame retry (dexycb6.py:339-364)
@@ -429,13 +430,13 @@ class DexYCBForceDataset:
         gt_hand_vert_flip = gt_hand_vert_flip - gt_jt3d_flip[0]
         gt_jt3d_flip = gt_jt3d_flip - gt_jt3d_flip[0]
 
-        # heatmaps (dexycb6.py:433-438): hand adaptive, obj square
-        hm_hand = np.asarray(adaptive_bbox_heatmap(
-            jnp.asarray(jt2d, jnp.float32)[None], jnp.asarray(bbox_hand, jnp.float32)[None],
-            self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma))[0]
-        hm_obj = np.asarray(square_bbox_heatmap(
-            jnp.asarray(kpt2d, jnp.float32)[None], jnp.asarray(bbox_obj_rect, jnp.float32)[None],
-            self.cfg.heatmap_size, self.cfg.heatmap_obj_sigma, is_right))[0]
+        # heatmaps (dexycb6.py:433-438): hand adaptive, obj square — native
+        # host kernels (no per-sample device dispatch in data workers)
+        hm_hand = adaptive_bbox_heatmap_np(
+            jt2d, bbox_hand, self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma)
+        hm_obj = square_bbox_heatmap_np(
+            kpt2d, bbox_obj_rect, self.cfg.heatmap_size,
+            self.cfg.heatmap_obj_sigma, is_right)
 
         rgb_norm = normalize_rgb(patch)
         if self.is_train:

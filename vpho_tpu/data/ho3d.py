@@ -26,7 +26,7 @@ import numpy as np
 from ..configs.config import Config
 from ..models import anchor as anchor_lib
 from ..models.ycb import YCB_ID, load_registry
-from ..ops.heatmap import adaptive_bbox_heatmap, square_bbox_heatmap
+from ..ops.heatmap import adaptive_bbox_heatmap_np, square_bbox_heatmap_np
 from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
 from .dexycb import (_aa_to_mat, _mat_to_aa, _mat_to_rot6d, bbox_in_image,
                      expand_bbox, get_hand_vert, pt2d_to_bbox, rectangularize)
@@ -196,16 +196,11 @@ class HO3DForceDataset:
         vert_rel = (vert3d - root).astype(np.float32)
         jt_rel = (jt3d - root).astype(np.float32)
 
-        import jax.numpy as jnp
-
-        hm_hand = np.asarray(adaptive_bbox_heatmap(
-            jnp.asarray(jt2d_c, jnp.float32)[None],
-            jnp.asarray(bbox_hand, jnp.float32)[None],
-            self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma))[0]
-        hm_obj = np.asarray(square_bbox_heatmap(
-            jnp.asarray(kpt2d_c, jnp.float32)[None],
-            jnp.asarray(bbox_obj_rect, jnp.float32)[None],
-            self.cfg.heatmap_size, self.cfg.heatmap_obj_sigma, True))[0]
+        hm_hand = adaptive_bbox_heatmap_np(
+            jt2d_c, bbox_hand, self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma)
+        hm_obj = square_bbox_heatmap_np(
+            kpt2d_c, bbox_obj_rect, self.cfg.heatmap_size,
+            self.cfg.heatmap_obj_sigma, True)
 
         rgb_norm = normalize_rgb(patch)
         if self.is_train:

@@ -163,3 +163,25 @@ def check_is_grasped(force_contact: jax.Array, thresh: float = 0.0) -> jax.Array
         axis=-1,
     )
     return counts.sum(-1) >= 2
+
+
+def pool_contact_to_anchors_np(tables: ForceAnchorTables, hand_contact):
+    """Numpy twin of ``pool_contact_to_anchors`` for host-side data workers
+    (per-sample eager jnp dispatch is expensive on small hosts)."""
+    import numpy as np
+
+    fvi = np.asarray(tables.face_vert_idx).reshape(-1)
+    w = np.asarray(tables.anchor_weight)
+    fc = np.asarray(hand_contact)[..., fvi].reshape(
+        np.shape(hand_contact)[:-1] + (32, 3))
+    w = w / w.sum(axis=1, keepdims=True)
+    return (fc * w).sum(-1)
+
+
+def check_is_grasped_np(force_contact, thresh: float = 0.0) -> bool:
+    """Numpy twin of ``check_is_grasped`` (single sample)."""
+    import numpy as np
+
+    fc = np.asarray(force_contact)
+    count = sum(int(fc[list(g)].sum() > thresh) for g in _FINGER_GROUPS)
+    return count >= 2

@@ -86,3 +86,50 @@ def adaptive_bbox_heatmap(pt2d: jax.Array, bbox: jax.Array, out_res: int,
     gy = jnp.exp(-(dy**2) / (2 * sigma**2)) * (jnp.abs(dy) <= win)
     hm = gy[..., :, None] * gx[..., None, :]
     return hm * in_range[..., None, None]
+
+
+def adaptive_bbox_heatmap_np(pt2d, bbox, out_res: int, sigma: float):
+    """Host-side AdaptiveHeatmapGenerator (misc_fn.py:333-385) verbatim:
+    stamp at the aspect-preserving intermediate resolution (via the native
+    C++ kernel), cv2-resize to (out_res, out_res), threshold tail values.
+
+    pt2d: (J, 2); bbox: (4,) -> (J, out_res, out_res) float32.
+    """
+    import cv2
+    import numpy as np
+
+    from ..native import stamp_heatmaps
+
+    w, h = bbox[2] - bbox[0], bbox[3] - bbox[1]
+    max_l = max(w, h)
+    res = (int(out_res * w / max_l), int(out_res * h / max_l))
+    pts = np.asarray(pt2d, np.float32).copy()
+    pts[:, 0] = (pts[:, 0] - bbox[0]) * res[0] / w
+    pts[:, 1] = (pts[:, 1] - bbox[1]) * res[1] / h
+    # native kernel stamps square maps; stamp into the bounding square and
+    # crop to (res[1], res[0]) — indices outside were zero anyway
+    side = max(res)
+    hm = stamp_heatmaps(pts, side, sigma)[:, : res[1], : res[0]]
+    hm = cv2.resize(hm.transpose(1, 2, 0), (out_res, out_res),
+                    interpolation=cv2.INTER_LINEAR)
+    if hm.ndim == 2:
+        hm = hm[:, :, None]
+    hm = hm.transpose(2, 0, 1)
+    gmin = np.exp(-2 * (3 * sigma + 1) ** 2 / (2 * sigma**2))
+    hm[hm < gmin] = 0
+    return hm.astype(np.float32)
+
+
+def square_bbox_heatmap_np(pt2d, bbox, out_res: int, sigma: float,
+                           is_right: bool = True):
+    """Host-side HeatmapGenerator.get_heatmap (misc_fn.py:324-330)."""
+    import numpy as np
+
+    from ..native import stamp_heatmaps
+
+    max_wh = max(bbox[2] - bbox[0], bbox[3] - bbox[1])
+    pts = (np.asarray(pt2d, np.float32) - np.asarray(bbox[:2], np.float32)) \
+        / max_wh * (out_res - 1)
+    if not is_right:
+        pts[:, 0] = pts[:, 0] + 1
+    return stamp_heatmaps(pts, out_res, sigma)
