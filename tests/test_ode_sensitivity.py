@@ -1,0 +1,58 @@
+"""ODE integrator sensitivity study (SURVEY.md §7 "hard parts").
+
+The reference integrates adaptively (RK45) between its t_eval points; the
+TPU sampler is fixed-step.  These tests quantify the integration error of
+each method at the blessed 50-step budget on an analytic score so the
+rk4-vs-heun speed/quality trade is grounded in numbers, not vibes.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vpho_tpu.diffusion.sampler import ode_sampler
+from vpho_tpu.diffusion.sde import init_sde
+
+
+def _gaussian_score(mu, sde):
+    def score_fn(x, t):
+        _, std = sde.marginal_prob(x, t)
+        return (mu - x) / (std**2)
+
+    return score_fn
+
+
+@pytest.fixture(scope="module")
+def setup():
+    sde = init_sde("ve")
+    mu = jnp.array([0.8, -0.4, 1.2, 0.1])
+    return sde, mu, _gaussian_score(mu, sde)
+
+
+class TestStepSensitivity:
+    def test_methods_converge_to_same_solution(self, setup):
+        """At 50 steps (the blessed budget), heun and rk4 must agree to well
+        under the metric scale (poses are O(1) in rot6d units; 1e-2 agreement
+        is far below mm-level MPJPE differences)."""
+        sde, mu, score = setup
+        key = jax.random.PRNGKey(0)
+        outs = {}
+        for method in ("euler", "heun", "rk4"):
+            _, x = ode_sampler(score, key, 64, 4, sde, 0.65, 50, method=method)
+            outs[method] = np.asarray(x)
+        heun_vs_rk4 = np.abs(outs["heun"] - outs["rk4"]).max()
+        euler_vs_rk4 = np.abs(outs["euler"] - outs["rk4"]).max()
+        assert heun_vs_rk4 < 2e-2, heun_vs_rk4
+        # euler is visibly worse — the ordering must hold
+        assert heun_vs_rk4 < euler_vs_rk4
+
+    def test_rk4_50_steps_close_to_rk4_200_steps(self, setup):
+        """50 fixed steps are already within integration tolerance of a 4x
+        finer grid — the step budget is not the accuracy bottleneck."""
+        sde, mu, score = setup
+        key = jax.random.PRNGKey(1)
+        _, x50 = ode_sampler(score, key, 64, 4, sde, 0.65, 50, method="rk4")
+        _, x200 = ode_sampler(score, key, 64, 4, sde, 0.65, 200, method="rk4")
+        # different step counts change the final denoise dt; compare pre-scale
+        err = np.abs(np.asarray(x50) - np.asarray(x200)).max()
+        assert err < 2e-2, err
