@@ -136,11 +136,14 @@ def _mat_to_rot6d(R: np.ndarray) -> np.ndarray:
 def _fk_fn(side: str):
     """Cached single-sample CPU FK closure over the (global) MANO models."""
     model = load_mano(side=side)
-    cpu = jax.devices("cpu")[0]
+    cpu = jax.local_devices(backend="cpu")[0]
 
-    @functools.partial(jax.jit, device=cpu)
-    def fk(pose, shape):
+    @jax.jit
+    def _fk(pose, shape):
         return mano_fk(model, pose[None], shape[None])
+
+    def fk(pose, shape):
+        return _fk(jax.device_put(pose, cpu), jax.device_put(shape, cpu))
 
     return model, fk
 
