@@ -55,13 +55,18 @@ def main():
     out = fn(variables, batch, rng)
     jax.block_until_ready(out)
 
-    t0 = time.perf_counter()
+    # fence EVERY iteration and take the median: a single stale/async future
+    # must not produce a bogus headline number
+    times = []
     for i in range(iters):
+        t0 = time.perf_counter()
         out = fn(variables, batch, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    dt = times[len(times) // 2]
 
-    fps = batch_size * iters / dt
+    fps = batch_size / dt
     print(json.dumps({
         "metric": "eval_throughput",
         "value": round(fps, 3),
