@@ -176,3 +176,28 @@ class TestScoreLoss:
 
         l = float(score_matching_loss(s, jax.random.PRNGKey(3), feat, gt, sde, 8))
         assert np.isfinite(l) and l > 0
+
+
+class TestDenoiserFastPath:
+    def test_proj_path_matches_full_path(self):
+        """score_from_proj(precompute_feat(feat)) == __call__(feat) exactly
+        (same parameter bank, split einsum)."""
+        import flax.linen as nn
+
+        from vpho_tpu.models.denoiser import Denoiser
+
+        for head, dim in (("mano_pose", 96), ("obj", 9)):
+            m = Denoiser(head=head)
+            feat = jax.random.normal(jax.random.PRNGKey(0), (4, 1024))
+            x = jax.random.normal(jax.random.PRNGKey(1), (4, dim))
+            t = jnp.full((4, 1), 0.4)
+            std = jnp.ones((4, 1))
+            variables = m.init({"params": jax.random.PRNGKey(2)}, feat, x, t, std)
+
+            full = m.apply(variables, feat, x, t, std)
+            proj = m.apply(variables, feat, method=Denoiser.precompute_feat)
+            fast = m.apply(variables, proj, x, t, std,
+                           method=Denoiser.score_from_proj)
+            np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
+                                       atol=1e-5)
+            assert full.shape == (4, dim)

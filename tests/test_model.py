@@ -44,8 +44,8 @@ class TestInit:
 
     def test_zero_init_denoiser_final(self, model_and_vars):
         _, variables = model_and_vars
-        p = variables["params"]["denoiser_hand"]["ManoPoseHead_0"]["ParallelLinear_1"]
-        assert float(jnp.abs(p["kernel"]).max()) == 0.0
+        p = variables["params"]["denoiser_hand"]["bank"]
+        assert float(jnp.abs(p["kernel2"]).max()) == 0.0
 
 
 class TestTrunk:

@@ -7,12 +7,20 @@ Reference: lib/model/denoiser.py.  The architecture is small and MLP-only:
 
 Heads use ``ParallelLinear`` banks (denoiser.py:166-179, 234-247): N
 independent 2-layer MLPs computed as two einsums — already the ideal MXU
-layout (one batched matmul per layer); the final layer of every head is
-zero-initialized (``zero_module``, denoiser.py:10-16).
+layout; the final layer of every head is zero-initialized (``zero_module``,
+denoiser.py:10-16).
+
+TPU-native optimization (exact algebra, not an approximation): the ODE
+sampler evaluates this network 4 x sampling_steps times per hypothesis with
+the SAME conditioning ``feat``.  The first bank layer is linear, so its feat
+slice — 1024 of the 1408 input dims, ~73% of the dominant FLOPs — can be
+projected ONCE per sample (``precompute_feat``) and reused at every
+evaluation with only the (t, pose) slice recomputed.  ``BankMLPHead`` keeps
+one parameter bank shared by both paths.
 
 The Fourier time-embedding weights are FROZEN random features (buffer, not a
-parameter — denoiser.py:19-31); we keep them in the 'buffers' collection so
-the optimizer never sees them.
+parameter — denoiser.py:19-31); they live in the 'buffers' collection so the
+optimizer never sees them.
 """
 from __future__ import annotations
 
@@ -23,7 +31,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-TOTAL_FEAT_DIM = 128 + 256 + 1024
+T_DIM = 128
+POSE_DIM = 256
+FEAT_DIM = 1024
+TP_DIM = T_DIM + POSE_DIM
+TOTAL_FEAT_DIM = TP_DIM + FEAT_DIM
 
 
 def _kaiming_uniform_bank(key, shape, dtype=jnp.float32):
@@ -68,6 +80,60 @@ class ParallelLinear(nn.Module):
         return y
 
 
+class BankMLPHead(nn.Module):
+    """num-bank 2-layer MLP head over [t | pose | feat] with a splittable
+    first layer (see module docstring).  Equivalent to
+    ``ParallelLinear(1408, 256, num) -> ReLU -> zero ParallelLinear(256, k)``.
+    """
+
+    num: int
+    out_dim: int            # per-bank output dim (3)
+    hidden: int = 256
+    dtype: Any = None
+
+    def setup(self):
+        bound = 1.0 / math.sqrt(TOTAL_FEAT_DIM)
+        self.kernel1 = self.param(
+            "kernel1", _kaiming_uniform_bank, (self.num, TOTAL_FEAT_DIM, self.hidden))
+        self.bias1 = self.param(
+            "bias1",
+            lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                key, shape, dtype, -bound, bound),
+            (self.num, self.hidden))
+        self.kernel2 = self.param(
+            "kernel2", nn.initializers.zeros, (self.num, self.hidden, self.out_dim))
+        self.bias2 = self.param("bias2", nn.initializers.zeros,
+                                (self.num, self.out_dim))
+
+    def _cast(self, *xs):
+        if self.dtype is None:
+            return xs
+        return tuple(x.astype(self.dtype) for x in xs)
+
+    def precompute_feat(self, feat: jax.Array) -> jax.Array:
+        """feat: (B, 1024) -> (B, num, hidden): the constant first-layer term."""
+        w = self.kernel1[:, TP_DIM:]
+        feat, w = self._cast(feat, w)
+        return jnp.einsum("bc,ncd->bnd", feat, w)
+
+    def __call__(self, tp_feat: jax.Array, feat: jax.Array | None = None,
+                 feat_proj: jax.Array | None = None) -> jax.Array:
+        """tp_feat: (B, 384) time+pose slice; provide either the raw ``feat``
+        (full recompute) or a precomputed ``feat_proj`` (B, num, hidden)."""
+        w_tp = self.kernel1[:, :TP_DIM]
+        tp_feat, w_tp, b1 = self._cast(tp_feat, w_tp, self.bias1)
+        h = jnp.einsum("bc,ncd->bnd", tp_feat, w_tp) + b1
+        if feat_proj is None:
+            assert feat is not None
+            h = h + self.precompute_feat(feat)
+        else:
+            h = h + feat_proj.astype(h.dtype)
+        h = nn.relu(h)
+        w2, b2 = self._cast(self.kernel2, self.bias2)
+        out = jnp.einsum("bnc,ncd->bnd", h, w2) + b2
+        return out.reshape(out.shape[0], self.num * self.out_dim)
+
+
 class GaussianFourierProjection(nn.Module):
     """Fixed random Fourier features for the diffusion time (frozen buffer)."""
 
@@ -85,11 +151,6 @@ class GaussianFourierProjection(nn.Module):
         return jnp.concatenate([jnp.sin(x_proj), jnp.cos(x_proj)], axis=-1)
 
 
-def _torch_linear_init():
-    """Reference vpho_net.init_weights (VPHO.py:43-44): N(0, 0.01), zero bias."""
-    return nn.initializers.normal(stddev=0.01), nn.initializers.zeros
-
-
 class Dense(nn.Dense):
     """nn.Dense with the reference's Linear init (normal 0.01 / zero bias)."""
 
@@ -97,41 +158,13 @@ class Dense(nn.Dense):
     bias_init: Callable = nn.initializers.zeros
 
 
-class ManoPoseHead(nn.Module):
-    """32-bank parallel head -> 16x rot6d = 96 dims (ManoPoseHead2, :166-179)."""
-
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, feat: jax.Array) -> jax.Array:
-        x = ParallelLinear(features=256, num=32, dtype=self.dtype)(feat)
-        x = nn.relu(x)
-        x = ParallelLinear(features=3, num=32, zero_init=True, dtype=self.dtype)(x)
-        return x.reshape(x.shape[0], 96)
-
-
-class ObjHead(nn.Module):
-    """3-bank parallel head -> 9 dims rot6d+trans (ObjHead2, :234-247)."""
-
-    dtype: Any = None
-
-    @nn.compact
-    def __call__(self, feat: jax.Array) -> jax.Array:
-        x = ParallelLinear(features=256, num=3, dtype=self.dtype)(feat)
-        x = nn.relu(x)
-        x = ParallelLinear(features=3, num=3, zero_init=True, dtype=self.dtype)(x)
-        return x.reshape(x.shape[0], 9)
-
-
-HEAD_OUT_DIM = {"mano_pose": 96, "obj": 9, "mano": 58, "mano6d": 106}
+HEAD_OUT_DIM = {"mano_pose": 96, "obj": 9}
+HEAD_BANKS = {"mano_pose": 32, "obj": 3}
 
 
 class Denoiser(nn.Module):
-    """Conditional score network.  ``marginal_prob_std`` divides the output.
-
-    head: 'mano_pose' (hand, 96-d) or 'obj' (object, 9-d) — the two heads the
-    live reference instantiates (VPHO.py:57-59).
-    """
+    """Conditional score network (heads: 'mano_pose' 96-d, 'obj' 9-d —
+    the two the live reference instantiates, VPHO.py:57-59)."""
 
     head: str = "mano_pose"
     dtype: Any = None
@@ -140,26 +173,34 @@ class Denoiser(nn.Module):
     def out_dim(self) -> int:
         return HEAD_OUT_DIM[self.head]
 
-    @nn.compact
+    def setup(self):
+        self.t_dense = Dense(T_DIM)
+        self.pose_dense1 = Dense(POSE_DIM)
+        self.pose_dense2 = Dense(POSE_DIM)
+        self.fourier = GaussianFourierProjection(T_DIM)
+        self.bank = BankMLPHead(num=HEAD_BANKS[self.head], out_dim=3,
+                                dtype=self.dtype)
+
+    def _tp_feat(self, sampled_pose: jax.Array, t: jax.Array) -> jax.Array:
+        t_feat = nn.relu(self.t_dense(self.fourier(t[:, 0])))
+        p = nn.relu(self.pose_dense1(sampled_pose))
+        p = nn.relu(self.pose_dense2(p))
+        return jnp.concatenate([t_feat, p], axis=-1)
+
+    def precompute_feat(self, feat: jax.Array) -> jax.Array:
+        """Project the conditioning feature once per sample (B, num, 256)."""
+        return self.bank.precompute_feat(feat)
+
     def __call__(self, feat: jax.Array, sampled_pose: jax.Array, t: jax.Array,
                  std: jax.Array) -> jax.Array:
-        """feat: (B, 1024); sampled_pose: (B, D); t: (B, 1); std: (B, 1) or scalar."""
-        t_feat = GaussianFourierProjection(128)(t[:, 0])
-        t_feat = Dense(128)(t_feat)
-        t_feat = nn.relu(t_feat)
+        """Full path: feat (B, 1024); sampled_pose (B, D); t/std (B, 1)."""
+        tp = self._tp_feat(sampled_pose, t)
+        out = self.bank(tp, feat=feat)
+        return out.astype(jnp.float32) / (std + 1e-7)
 
-        pose_feat = Dense(256)(sampled_pose)
-        pose_feat = nn.relu(pose_feat)
-        pose_feat = Dense(256)(pose_feat)
-        pose_feat = nn.relu(pose_feat)
-
-        total_feat = jnp.concatenate([t_feat, pose_feat, feat], axis=-1)
-
-        if self.head == "mano_pose":
-            out = ManoPoseHead(dtype=self.dtype)(total_feat)
-        elif self.head == "obj":
-            out = ObjHead(dtype=self.dtype)(total_feat)
-        else:
-            raise NotImplementedError(self.head)
-        # the score divides by std and feeds the ODE integrator: f32 out
+    def score_from_proj(self, feat_proj: jax.Array, sampled_pose: jax.Array,
+                        t: jax.Array, std: jax.Array) -> jax.Array:
+        """Fast path for the ODE loop: uses the precomputed feat projection."""
+        tp = self._tp_feat(sampled_pose, t)
+        out = self.bank(tp, feat_proj=feat_proj)
         return out.astype(jnp.float32) / (std + 1e-7)

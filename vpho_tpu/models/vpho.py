@@ -218,6 +218,21 @@ class VPHONet(nn.Module):
     def denoise_obj(self, feat, x, t, std):
         return self.denoiser_obj(feat, x, t, std)
 
+    # fast ODE-loop path: the conditioning-feature projection (73% of the
+    # head FLOPs) is constant across all score evaluations — precompute it
+    # once per sample and reuse (see models/denoiser.py docstring)
+    def precompute_hand_feat(self, feat):
+        return self.denoiser_hand.precompute_feat(feat)
+
+    def precompute_obj_feat(self, feat):
+        return self.denoiser_obj.precompute_feat(feat)
+
+    def denoise_hand_from_proj(self, feat_proj, x, t, std):
+        return self.denoiser_hand.score_from_proj(feat_proj, x, t, std)
+
+    def denoise_obj_from_proj(self, feat_proj, x, t, std):
+        return self.denoiser_obj.score_from_proj(feat_proj, x, t, std)
+
     def __call__(self, data: Dict[str, Array], train: bool = False):
         """Init path: touches every submodule so all params materialize."""
         out = self.trunk(data, train=train)
@@ -236,16 +251,23 @@ class VPHONet(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def _score_fn(model: VPHONet, variables, sde: SDE, which: str, feat: Array):
-    """Build (x, t) -> score closure over fixed conditioning features."""
+def _score_fn(model: VPHONet, variables, sde: SDE, which: str, feat: Array,
+              sample_num: int):
+    """Build the (x, t) -> score closure for the ODE loop.
+
+    ``feat`` is the UNREPEATED (B, 1024) conditioning; its first-layer bank
+    projection is computed once here and tiled over the sample_num hypotheses
+    — removing ~73% of the per-evaluation FLOPs of the dominant term.
+    """
+    pre = VPHONet.precompute_hand_feat if which == "hand" else VPHONet.precompute_obj_feat
+    dn = VPHONet.denoise_hand_from_proj if which == "hand" else VPHONet.denoise_obj_from_proj
+    feat_proj = model.apply(variables, feat, method=pre)         # (B, num, 256)
+    feat_proj = jnp.repeat(feat_proj, sample_num, axis=0)        # (B*S, num, 256)
 
     def fn(x, t):
         _, std = sde.marginal_prob(x, t)
         std = jnp.broadcast_to(jnp.asarray(std), (x.shape[0], 1))
-        return model.apply(
-            variables, feat, x, t, std,
-            method=VPHONet.denoise_hand if which == "hand" else VPHONet.denoise_obj,
-        )
+        return model.apply(variables, feat_proj, x, t, std, method=dn)
 
     return fn
 
@@ -367,8 +389,7 @@ def forward_predict(
     rng_h, rng_o = jax.random.split(rng)
 
     # hand diffusion over B*S hypotheses
-    feat_h = jnp.repeat(out["encoding_hand"], S, axis=0)         # (B*S, 1024)
-    score_h = _score_fn(model, variables, ctx.sde, "hand", feat_h)
+    score_h = _score_fn(model, variables, ctx.sde, "hand", out["encoding_hand"], S)
     traj_h, final_h = ode_sampler(
         score_h, rng_h, B * S, 96, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
         method=cfg.ode_method, return_trajectory=return_trajectory,
@@ -383,8 +404,7 @@ def forward_predict(
         pd_dt["diff_inprocess_hand_6d"] = traj_h.reshape(B, S, -1, 96)
 
     # object diffusion
-    feat_o = jnp.repeat(out["encoding_obj"], S, axis=0)
-    score_o = _score_fn(model, variables, ctx.sde, "obj", feat_o)
+    score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
     traj_o, final_o = ode_sampler(
         score_o, rng_o, B * S, 9, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
         method=cfg.ode_method, return_trajectory=return_trajectory,
