@@ -1,0 +1,85 @@
+"""Component-level latency breakdown of the predict pipeline (not the driver
+bench contract — that's bench.py).  Times trunk / hand ODE / obj ODE /
+aggregation separately at the blessed shapes to direct optimization work.
+"""
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+from vpho_tpu.data.fixtures import make_batch
+from vpho_tpu.diffusion.sampler import ode_sampler
+from vpho_tpu.models import vpho as V
+from vpho_tpu.models import aggregation as agg
+from vpho_tpu.models.vpho import ModelConfig, VPHONet, _score_fn, postprocess_diffusion_hand
+from vpho_tpu.models.mano import hand_verts_meters
+
+
+def timed(name, fn, *args, iters=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(json.dumps({"component": name, "median_ms": round(ts[len(ts) // 2] * 1e3, 2)}))
+    return out
+
+
+def main():
+    B = int(os.environ.get("BENCH_BATCH", "16"))
+    S = int(os.environ.get("BENCH_SAMPLES", "100"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    cfg = ModelConfig(sample_num=S, sampling_steps=steps, topk_hand=30,
+                      topk_obj=10, patch_size=256)
+    ctx = V.make_context(cfg)
+    model = VPHONet()
+    batch = make_batch(ctx, jax.random.PRNGKey(0), B, 256)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+        batch, False)
+
+    trunk = jax.jit(lambda v, b: model.apply(v, b, False, method=VPHONet.trunk))
+    out = timed("trunk", trunk, variables, batch)
+
+    score_h = _score_fn(model, variables, ctx.sde, "hand", out["encoding_hand"], S)
+    ode_h = jax.jit(lambda r: ode_sampler(score_h, r, B * S, 96, ctx.sde,
+                                          cfg.sample_T0, steps,
+                                          return_trajectory=False)[1])
+    final_h = timed("hand_ode", ode_h, jax.random.PRNGKey(3))
+
+    score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
+    ode_o = jax.jit(lambda r: ode_sampler(score_o, r, B * S, 9, ctx.sde,
+                                          cfg.sample_T0, steps,
+                                          return_trajectory=False)[1])
+    final_o = timed("obj_ode", ode_o, jax.random.PRNGKey(4))
+
+    hand_mano = postprocess_diffusion_hand(final_h, out["pd_mano_shape"], S)
+    fk = jax.jit(lambda hm: hand_verts_meters(ctx.mano, hm[..., :48], hm[..., 48:]))
+    timed("fk_all_hypotheses", fk, hand_mano)
+
+    def run_agg(hm, fo):
+        return agg.hoi_aggregate(
+            ctx.mano, ctx.registry, ctx.anchor_tables,
+            cam_intrinsic=batch["cam_intr_crop_flip"],
+            root_joint_flip=batch["root_joint_flip"],
+            root_joint=batch["root_joint"], is_right=batch["is_right"],
+            force_local=out["pd_phy"]["force_local"],
+            is_grasped=batch["is_grasped"],
+            hand_pose_diff=hm[..., :48], hand_pose_regression=out["pd_mano_pose"],
+            hand_shape=hm[..., 48:], hand_heatmap=out["pd_hm_hand"],
+            hand_bbox=batch["bbox_hand"], hand_topk=cfg.topk_hand,
+            obj_pose6d=fo.reshape(B, S, 9), obj_heatmap=out["pd_hm_obj"],
+            obj_bbox=batch["bbox_obj_rect"], obj_topk=cfg.topk_obj,
+            obj_ids=batch["obj_id"])["hand_agg_vert"]
+
+    timed("aggregation", jax.jit(run_agg), hand_mano, final_o)
+
+
+if __name__ == "__main__":
+    main()

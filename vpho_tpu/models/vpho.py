@@ -386,32 +386,32 @@ def forward_predict(
     pd_dt["obj_heatmap"] = out["pd_hm_obj"]
     pd_dt["force_local"] = out["pd_phy"]["force_local"]
 
-    rng_h, rng_o = jax.random.split(rng)
-
-    # hand diffusion over B*S hypotheses
+    # hand + object diffusion over B*S hypotheses: both heads integrate in a
+    # SINGLE lax.scan over the concatenated 96+9 state — the per-step dispatch
+    # overhead of a second scan is pure waste (the two ODEs are independent;
+    # the joint prior factorizes, so the distribution is unchanged)
     score_h = _score_fn(model, variables, ctx.sde, "hand", out["encoding_hand"], S)
-    traj_h, final_h = ode_sampler(
-        score_h, rng_h, B * S, 96, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
+    score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
+
+    def score_both(x, t):
+        return jnp.concatenate(
+            [score_h(x[:, :96], t), score_o(x[:, 96:], t)], axis=-1)
+
+    traj, final = ode_sampler(
+        score_both, rng, B * S, 96 + 9, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
         method=cfg.ode_method, return_trajectory=return_trajectory,
     )
+    final_h, final_o = final[:, :96], final[:, 96:]
     hand_mano = postprocess_diffusion_hand(final_h, out["pd_mano_shape"], S)
     pd_dt["diff_final_hand_mano"] = hand_mano                    # (B, S, 58)
     vert_s, joint_s = hand_verts_meters(
         ctx.mano, hand_mano[..., :48], hand_mano[..., 48:])
     pd_dt["diff_final_hand_vert"] = vert_s                       # (B, S, 778, 3)
     pd_dt["diff_final_hand_joint"] = joint_s
-    if return_trajectory:
-        pd_dt["diff_inprocess_hand_6d"] = traj_h.reshape(B, S, -1, 96)
-
-    # object diffusion
-    score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
-    traj_o, final_o = ode_sampler(
-        score_o, rng_o, B * S, 9, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
-        method=cfg.ode_method, return_trajectory=return_trajectory,
-    )
     pd_dt["diff_final_obj_6d"] = final_o.reshape(B, S, 9)
     if return_trajectory:
-        pd_dt["diff_inprocess_obj_6d"] = traj_o.reshape(B, S, -1, 9)
+        pd_dt["diff_inprocess_hand_6d"] = traj[..., :96].reshape(B, S, -1, 96)
+        pd_dt["diff_inprocess_obj_6d"] = traj[..., 96:].reshape(B, S, -1, 9)
 
     # 5-stage HOI aggregation
     hoi = agg.hoi_aggregate(
