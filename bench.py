@@ -4,11 +4,14 @@ Runs the flagship configuration (trunk + batched diffusion sampling over
 bs x sample_num hypotheses + 5-stage HOI aggregation) on one chip and prints
 ONE JSON line: frames/sec/chip.
 
-The baseline constant below is the reference's CUDA eval throughput for the
-blessed config (batch 64, S=100, 50 ODE steps, topk 30/10) — the reference
-publishes no number (BASELINE.md), so we anchor on the north-star target of
-beating the scipy-RK45-bound reference pipeline; vs_baseline is computed
-against an estimated 2.0 frames/s/GPU for that host-bound loop.
+The baseline is MEASURED from the reference's own code on this host
+(``bench_reference.py`` -> BASELINE_MEASURED.json): the reference's eval is
+bound by its host-side scipy-RK45 sampler (score_based_model.py:45-105, one
+denoiser forward per RHS eval at bs*S=6400).  We use the OPTIMISTIC estimate
+of the CUDA reference (measured host scaffolding + measured nfev x denoiser
+FLOPs at an assumed 10 TFLOP/s effective GPU) as the denominator — i.e. we
+compare against the reference at its best, not its torch-CPU floor (0.141
+fps on this host).  Methodology in BASELINE.md.
 """
 import json
 import os
@@ -23,14 +26,20 @@ from vpho_tpu.data.fixtures import make_batch
 from vpho_tpu.models import vpho as V
 from vpho_tpu.models.vpho import ModelConfig, VPHONet, forward_predict
 
-# estimated reference throughput (frames/s per GPU) for the blessed eval
-# config — the scipy-RK45 ODE sampler alone runs 50 adaptive steps of
-# host-side integration per batch (score_based_model.py:91)
-BASELINE_FPS = 2.0
+# measured optimistic-GPU reference throughput (frames/s) for the blessed
+# eval config; falls back to the checked-in measurement if the json is absent
+BASELINE_FPS = 2.471
+try:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BASELINE_MEASURED.json")) as _f:
+        BASELINE_FPS = float(json.load(_f)["ref_gpu_fps_optimistic"])
+except (OSError, KeyError, ValueError):
+    pass
 
 
 def main():
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    # blessed eval config (BASELINE.md): batch 64, S=100, 50 ODE steps
+    batch_size = int(os.environ.get("BENCH_BATCH", "64"))
     sample_num = int(os.environ.get("BENCH_SAMPLES", "100"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))

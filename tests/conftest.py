@@ -21,6 +21,15 @@ os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 
 import jax  # noqa: E402
 
+# The axon sitecustomize pre-imports jax at interpreter boot and forces
+# jax_platforms="axon,cpu" via config (which OVERRIDES the env var) — so the
+# env assignment above is not sufficient: tests would silently round-trip
+# every op over the TPU relay (and inherit its bf16-grade conv precision).
+# config.update after import wins as long as no backend is initialized yet.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() >= 8, jax.devices()
+
 jax.config.update("jax_enable_x64", False)
 # test-side verification math must not run at the bf16-grade default matmul
 # precision; library geometry code pins Precision.HIGHEST explicitly where it

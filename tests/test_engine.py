@@ -166,3 +166,31 @@ class TestVizInEval:
         trainer = run(c)
         viz_dir = os.path.join(trainer.save_dir, "viz")
         assert os.path.isdir(viz_dir) and len(os.listdir(viz_dir)) >= 2
+
+
+class TestOptimizerSemantics:
+    def test_adam_weight_decay_is_l2_coupled(self):
+        """The 'adam' path must match torch Adam(weight_decay=5e-4): decay
+        added to the GRADIENT before the moment updates (L2-coupled), not
+        decoupled AdamW-style (train_diff_hand_obj.py:54)."""
+        torch = pytest.importorskip("torch")
+        import optax
+
+        from vpho_tpu.engine.trainer import make_optimizer
+
+        cfg = Config(optimizer="adam", base_learning_rate=0.1, scheduler="exp",
+                     gamma=1.0, gradient_clip=-1.0,
+                     gradient_accumulation_steps=1)
+        tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+        params = {"w": jnp.array([1.0])}
+        st = tx.init(params)
+        for _ in range(3):
+            up, st = tx.update({"w": jnp.array([0.0])}, st, params)
+            params = optax.apply_updates(params, up)
+
+        p = torch.nn.Parameter(torch.tensor([1.0]))
+        opt = torch.optim.Adam([p], lr=0.1, weight_decay=5e-4)
+        p.grad = torch.tensor([0.0])
+        for _ in range(3):
+            opt.step()
+        np.testing.assert_allclose(float(params["w"][0]), p.item(), rtol=1e-5)

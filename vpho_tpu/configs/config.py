@@ -131,6 +131,9 @@ class Config:
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
     models_dir: str = ""
+    # local stand-in for the reference's torchvision ImageNet model-zoo init
+    # (backbone_FPN_HFL.py:256-261); loaded when the file exists
+    imagenet_pretrain: str = "asset/resnet50.pth"
 
     def to_model_config(self) -> ModelConfig:
         return ModelConfig(
@@ -146,6 +149,11 @@ class Config:
             topk_obj=self.topk_obj,
             ode_method=self.ode_method,
             compute_dtype=self.compute_dtype,
+            aggregation_mode_hand=self.aggregation_mode_hand,
+            aggregation_mode_obj=self.aggregation_mode_obj,
+            do_weighted_average=self.do_weighted_average,
+            do_physics_selection=self.do_physics_selection,
+            use_regression_as_candidate=self.use_regression_as_candidate,
             weight_diff_hand_loss=self.weight_diff_hand_loss,
             weight_diff_obj_loss=self.weight_diff_obj_loss,
             weight_hm_hand_loss=self.weight_hm_hand_loss,
@@ -165,7 +173,8 @@ class Config:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Hand-Object Pose Estimation (TPU)")
     p.add_argument("--mode", type=str, default="train",
-                   choices=["train", "eval", "infer"])
+                   choices=["train", "eval", "infer", "infer_candidate",
+                            "energy"])
     p.add_argument("--eval_full", action="store_true")
     p.add_argument("--eval_path", type=str, default="")
     p.add_argument("--mark", type=str, default="")
@@ -263,6 +272,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--mano_root", type=str, default="")
     p.add_argument("--models_dir", type=str, default="")
+    p.add_argument("--imagenet_pretrain", type=str, default="asset/resnet50.pth")
     return p
 
 

@@ -322,6 +322,11 @@ class DexYCBForceDataset:
 
     # -- per-item pipeline ------------------------------------------------
 
+    def get_path(self, index: int) -> str:
+        """Image path of a dataset index (collector 'path' key parity,
+        train_diff_hand_obj.py:443-444)."""
+        return self.samples[self.index_ls[index]]["color_file"]
+
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         sample = self.samples[self.index_ls[index]]
         rng = np.random.RandomState((index * 9973 + 7) % 2**31)
@@ -519,19 +524,36 @@ def collate(items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
 
 def make_loader(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
                 subsample: int = 1, num_batches: int | None = None,
-                num_workers: int = 8, with_eval_keys: bool = False) -> Iterator[Dict]:
-    """Threaded prefetching loader (cv2 releases the GIL on decode/warp)."""
+                num_workers: int = 8, drop_last: bool = True) -> Iterator[Dict]:
+    """Threaded prefetching loader (cv2 releases the GIL on decode/warp).
+
+    ``drop_last=False`` (eval) keeps the tail batch: it is padded back to
+    ``batch_size`` (repeating the last item) and every batch carries a
+    ``_valid`` bool mask and a ``_index`` dataset-index vector so metric
+    reducers score each sample exactly once — the SPMD replacement for the
+    reference's drop_last=False + gather_for_metrics de-duplication
+    (train_diff_hand_obj.py:333-357).
+    """
+    from ..parallel.mesh import pad_batch_to
+
     idx = np.arange(0, len(dataset), subsample)
     if shuffle:
         np.random.RandomState(seed).shuffle(idx)
-    n = len(idx) // batch_size if num_batches is None else num_batches
+    if num_batches is not None:
+        n = num_batches
+    elif drop_last:
+        n = len(idx) // batch_size
+    else:
+        n = -(-len(idx) // batch_size)
 
     def build(bi):
-        items = [dataset[int(i)] for i in idx[bi * batch_size:(bi + 1) * batch_size]]
+        sel = idx[bi * batch_size:(bi + 1) * batch_size]
+        items = [dataset[int(i)] for i in sel]
         batch = collate(items)
-        if with_eval_keys:
-            # camera-frame GT for metrics comes straight from annotations
-            pass
+        if not drop_last:
+            batch["_index"] = np.asarray(sel, np.int64)
+            batch, valid = pad_batch_to(batch, batch_size)
+            batch["_valid"] = valid
         return batch
 
     with ThreadPoolExecutor(max_workers=num_workers) as ex:

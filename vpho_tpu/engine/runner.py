@@ -43,7 +43,11 @@ def synthetic_stream(ctx, cfg: Config, n_batches: int, batch_size: int,
                            cfg.patch_size)
         if with_eval_keys:
             batch = _augment_eval_keys(ctx, batch)
-        yield jax.device_get(batch)
+        batch = dict(jax.device_get(batch))
+        if with_eval_keys:
+            batch["_index"] = np.arange(i * batch_size, (i + 1) * batch_size)
+            batch["_valid"] = np.ones((batch_size,), bool)
+        yield batch
 
 
 def _has_real_data(cfg: Config) -> bool:
@@ -62,8 +66,21 @@ def run(cfg: Config):
             print(k, v)
         return report
 
+    if cfg.mode in ("infer_candidate", "energy"):
+        # CLI-surface parity: both modes exist in the reference dispatch but
+        # are dead there — 'energy' raises NotImplementedError outright
+        # (main.py:14-15) and 'infer_candidate' calls a method the reference
+        # Trainer never defines (main.py:12-13 -> AttributeError)
+        raise NotImplementedError(
+            f"--mode {cfg.mode} is non-functional in the reference "
+            "(zhoujun-7/VPHO main.py:12-15) and intentionally not rebuilt")
+
     trainer = Trainer(cfg)
     log = trainer.logger
+    if cfg.eval_repeat_num != 50:
+        log.warning("--eval_repeat_num is parsed for CLI parity but consumed "
+                    "nowhere in the reference (args.py:195, zero readers); "
+                    "use --sample_num to set eval hypothesis count")
 
     if _has_real_data(cfg):
         from ..data.dexycb import DexYCBForceDataset, make_loader
@@ -73,9 +90,11 @@ def run(cfg: Config):
         steps_per_epoch = len(train_ds) // cfg.batch_size
         first = next(make_loader(train_ds, cfg.batch_size, shuffle=False, num_batches=1))
         get_train = lambda ep: make_loader(train_ds, cfg.batch_size, shuffle=True, seed=ep)
+        # drop_last=False: every test frame is scored exactly once (the tail
+        # batch is padded and masked by _valid)
         get_eval = lambda full: make_loader(
             test_ds, cfg.eval_batch_size, shuffle=False,
-            subsample=1 if full else 10, with_eval_keys=True)
+            subsample=1 if full else 10, drop_last=False)
     else:
         log.warning("No real DexYCB found under %s — using the synthetic "
                     "fixture stream", cfg.data_dir)
@@ -96,7 +115,16 @@ def run(cfg: Config):
             log.info(f"Epoch {epoch}/{cfg.max_epochs}")
             trainer.train_one_epoch(epoch, get_train(epoch), steps_per_epoch)
             trainer.save_checkpoint(epoch + 1)
-            trainer.evaluate(get_eval(False))
+            # per-epoch sub-eval; HO3D instead runs the codalab-style infer
+            # every full_evaluation_freq epochs, with the sub-eval only when
+            # mixing trainsets (train_diff_hand_obj.py:145-152)
+            if cfg.dataset_name != "ho3d":
+                trainer.evaluate(get_eval(False))
+            elif (epoch + 1) % cfg.full_evaluation_freq == 0:
+                if cfg.use_mix_trainset:
+                    trainer.evaluate(get_eval(False))
+                out = trainer.evaluate(get_eval(True))
+                trainer.dump_predictions(out["collector_res"], tag=f"-ep{epoch+1}")
             trainer.save_model()
     elif cfg.mode == "eval":
         out = trainer.evaluate(get_eval(cfg.eval_full))

@@ -206,11 +206,54 @@ class Trainer:
         rng = jax.random.PRNGKey(self.cfg.random_seed or 206)
         self.state = create_train_state(
             self.model, self.ctx, self.cfg, sample_batch, steps_per_epoch, rng)
+        self._load_initial_weights()
         self.state = replicate(self.state, self.mesh)
         n_params = sum(x.size for x in jax.tree.leaves(self.state.params))
         self.logger.info(f"Model params: {n_params/1e6:.2f}M")
         if self.cfg.checkpoint:
             self.load_checkpoint(self.cfg.checkpoint)
+
+    def _load_initial_weights(self):
+        """ImageNet backbone init + --pretrain loading (pre-replication).
+
+        Mirrors the reference: the FPN initializes from torchvision's
+        ImageNet resnet50 (backbone_FPN_HFL.py:256-261 — here from a local
+        ``asset/resnet50.pth`` since there is no egress), then a full
+        --pretrain checkpoint (reference .pth or our .pkl) is applied on top
+        with --remove_pretrained_keys prefix filtering
+        (train_diff_hand_obj.py:39-46).
+        """
+        from ..utils import torch_import as TI
+
+        variables = {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats,
+                     "buffers": self.state.buffers}
+        loaded = False
+        imagenet = self.cfg.imagenet_pretrain
+        if imagenet and os.path.exists(imagenet):
+            sd = TI.load_torch_file(imagenet)
+            variables = TI.load_resnet50_into_backbone(variables, sd)
+            self.logger.info(f"Initialized backbone from {imagenet}")
+            loaded = True
+        if self.cfg.pretrain:
+            variables, report = TI.load_pretrain(
+                variables, self.cfg.pretrain,
+                tuple(self.cfg.remove_pretrained_keys))
+            for k in report["missing"]:
+                self.logger.warning(f"pretrain: missing key {k}")
+            for k in report["unconsumed"][:20]:
+                self.logger.warning(f"pretrain: unconsumed key {k}")
+            self.logger.info(
+                f"Loaded pretrain {self.cfg.pretrain}: "
+                f"{len(report['imported'])} modules imported, "
+                f"{len(report['missing'])} missing, "
+                f"{len(report['unconsumed'])} unconsumed")
+            loaded = True
+        if loaded:
+            as_jnp = jax.tree.map(jnp.asarray, variables)
+            self.state = self.state.replace(
+                params=as_jnp["params"], batch_stats=as_jnp["batch_stats"],
+                buffers=as_jnp["buffers"])
 
     def save_checkpoint(self, epoch: int):
         """orbax save to <run>/checkpoint/epoch_N.state (base_trainer.py:85-89)."""
@@ -276,12 +319,19 @@ class Trainer:
         self.logger.info(f"Epoch {epoch} done in {dt:.1f}s")
         return last
 
-    def evaluate(self, batches: Iterable[Dict[str, Any]]) -> Dict[str, Any]:
+    def evaluate(self, batches: Iterable[Dict[str, Any]],
+                 path_of=None) -> Dict[str, Any]:
         """Predict + metric suite over an eval stream.
 
         Each host batch must carry gt_joint/gt_hand_vert (camera frame),
         gt_obj_rt (3,4), cam_intr, obj_id in addition to the model inputs.
+        Host-side keys: ``_valid`` masks padded tail samples out of the
+        metrics AND the collector (lossless eval — no test frame dropped, no
+        padding scored); ``_index`` + ``path_of`` fill the collector's
+        index/path columns (pkl parity, train_diff_hand_obj.py:443-444).
         """
+        path_of = path_of or (getattr(self.eval_dataset, "get_path", None)
+                              if self.eval_dataset is not None else None)
         if self._predict_step is None:
             self._predict_step = make_predict_step(self.model, self.ctx)
         rng = jax.random.PRNGKey(128)
@@ -292,6 +342,7 @@ class Trainer:
         collector_res = []
         for i, batch in enumerate(batches):
             valid = batch.pop("_valid", None)
+            index = batch.pop("_index", None)
             jbatch = shard_batch(batch, self.mesh)
             if i == 0:
                 # FLOPs/params at eval batch 0 (train_diff_hand_obj.py:220-221)
@@ -334,13 +385,21 @@ class Trainer:
             testers_obj["mean_candidate_pose"].add_batch(
                 pd_rt_agg, jbatch["gt_obj_rt"], jbatch["obj_id"], jbatch["cam_intr"], valid)
 
-            collector_res.append({
-                "pd_obj_rt": np.asarray(pd_rt_agg),
-                "pd_hand_vert": np.asarray(pd_vert_agg).astype(np.float16),
-                "pd_hand_joint": np.asarray(pd_joint_agg),
-                "gt_obj_rt": np.asarray(jbatch["gt_obj_rt"]),
-                "obj_id": np.asarray(jbatch["obj_id"]),
-            })
+            keep = (np.asarray(valid) if valid is not None
+                    else np.ones((pd_rt_agg.shape[0],), bool))
+            row = {
+                "pd_obj_rt": np.asarray(pd_rt_agg)[keep],
+                "pd_hand_vert": np.asarray(pd_vert_agg).astype(np.float16)[keep],
+                "pd_hand_joint": np.asarray(pd_joint_agg)[keep],
+                "gt_obj_rt": np.asarray(jbatch["gt_obj_rt"])[keep],
+                "obj_id": np.asarray(jbatch["obj_id"])[keep],
+            }
+            if index is not None:
+                idx_host = np.asarray(index)[keep]
+                row["index"] = idx_host
+                if path_of is not None:
+                    row["path"] = [path_of(int(j)) for j in idx_host]
+            collector_res.append(row)
 
             if self.cfg.viz_freq > 0 and i % self.cfg.viz_freq == 0:
                 # Batch3D pkl dumps (train_diff_hand_obj.py:272-329)

@@ -390,7 +390,17 @@ def hoi_aggregate(
     obj_topk: int,
     obj_ids: Array,
     phy_topk: int = 5,
+    is_weight: bool = True,
+    use_regression_as_candidate: bool = True,
+    do_physics_selection: bool = True,
 ) -> Dict[str, Array]:
+    """5-stage orchestration.  The three static flags expose the CLI surface
+    --do_weighted_average / --use_regression_as_candidate /
+    --do_physics_selection (args.py:233-246 — parsed but left unwired in the
+    reference, whose live path hardcodes them True, aggregation.py:1188-1189;
+    we make them live).  do_physics_selection=False replaces the stage-4
+    grasped-sample physics re-rank with the heatmap rank and skips the
+    stage-5 per-finger physics re-rank entirely."""
     B = root_joint.shape[0]
     # the stage-4 candidate set is obj_topk^2 and stage-5's is hand_topk+1;
     # clamp the re-rank k so tiny eval configs remain valid
@@ -400,7 +410,8 @@ def hoi_aggregate(
     hand_sel = hand_heatmap_cascade(
         mano, hand_pose_diff, hand_pose_regression, hand_shape,
         root_joint_flip, cam_intrinsic, hand_heatmap, hand_bbox, hand_topk,
-        is_weight=True, use_regression_as_candidate=True,
+        is_weight=is_weight,
+        use_regression_as_candidate=use_regression_as_candidate,
     )
     agg_hand_mano = hand_sel["agg_hand_mano"]
     hand_vert_cam = hand_sel["agg_vert"] + root_joint_flip[:, None]
@@ -413,7 +424,8 @@ def hoi_aggregate(
         registry, obj_pose6d, root_joint, obj_ids, is_right,
         cam_intrinsic, obj_heatmap, obj_bbox, obj_topk,
     )
-    fused = obj_fuse_topk(obj_pose6d, transl_topk, transl_weight)
+    fused = obj_fuse_topk(obj_pose6d, transl_topk,
+                          transl_weight if is_weight else None)
     fused_trans = fused[:, 6:]
 
     # 3. rotation top-k with the fused translation substituted
@@ -435,23 +447,36 @@ def hoi_aggregate(
         axis=-1,
     ).reshape(B, k * k, 9)
 
-    topk_phy, weight_phy = obj_topk_by_physics3(
-        registry, cand, root_joint, obj_ids, is_right, force_point, force_global, phy_topk
-    )
     topk_hm, weight_hm = obj_topk_by_heatmap(
         registry, cand, root_joint, obj_ids, is_right,
         cam_intrinsic, obj_heatmap, obj_bbox, phy_topk,
     )
-    grasped = is_grasped.astype(bool)[:, None]
-    new_topk = jnp.where(grasped, topk_phy, topk_hm)
-    new_weight = jnp.where(grasped, weight_phy, weight_hm)
-    obj_agg_6d = obj_fuse_topk(cand, new_topk, new_weight)
+    if do_physics_selection:
+        topk_phy, weight_phy = obj_topk_by_physics3(
+            registry, cand, root_joint, obj_ids, is_right, force_point,
+            force_global, phy_topk)
+        grasped = is_grasped.astype(bool)[:, None]
+        new_topk = jnp.where(grasped, topk_phy, topk_hm)
+        new_weight = jnp.where(grasped, weight_phy, weight_hm)
+    else:
+        new_topk, new_weight = topk_hm, weight_hm
+    obj_agg_6d = obj_fuse_topk(cand, new_topk,
+                               new_weight if is_weight else None)
 
     pose_cam = obj_agg_6d.at[..., 6:].add(root_joint)
     obj_vert_fused = heads.object_transform(registry, pose_cam, obj_ids, "verts")
     obj_vert_fused = heads.flip_pt3d(obj_vert_fused, is_right)
     obj_com_fused = heads.object_transform(registry, pose_cam, obj_ids, "CoM")
     obj_com_fused = heads.flip_pt3d(obj_com_fused, is_right)
+
+    if not do_physics_selection:
+        return {
+            "obj_agg_6d": obj_agg_6d,
+            "agg_obj_vert": obj_vert_fused,
+            "hand_agg_mano": agg_hand_mano,
+            "hand_agg_vert": hand_sel["agg_vert"],
+            "hand_agg_joint": hand_sel["agg_joint"],
+        }
 
     # 5. per-finger physics re-rank over distal/tip level candidates
     level4 = hand_sel["middle_data"][3].topk_idx_pose_aa[:, :hand_topk]  # (B, K, 5, 3)
@@ -593,6 +618,70 @@ def aggregate_hand(mode: str, mano: MANOModel, **kw) -> Dict[str, Array]:
     raise NotImplementedError(mode)
 
 
+def obj_heatmap_cascade(
+    registry: YCBRegistry,
+    pose6d: Array,          # (B, N, 9)
+    root_joint: Array,
+    obj_ids: Array,
+    is_right: Array,
+    cam_intrinsic: Array,
+    heatmap: Array,
+    bbox: Array,
+    k: int,
+    is_weight: bool = True,
+    force_selection: bool = False,
+    force_point: Array | None = None,
+    force_global: Array | None = None,
+    is_grasped: Array | None = None,
+    phy_topk: int = 5,
+) -> Dict[str, Array]:
+    """Standalone object cascade (ObjectAggregator.select_by_heatmap_cascade,
+    aggregation.py:661-722): trans1 -> rot1 -> trans2|rot1 -> rot2|trans1,
+    then either the k x k force/heatmap re-rank (``force_selection``, the
+    "HO3Dv2-ADDS 15.35 -> 14.15" switch, :691) or a plain trans2+rot2 fuse.
+
+    Deviation (documented): the reference's non-force fuse of trans2 reads
+    candidates from a tensor whose translations were already overwritten by
+    fused_trans1 (:671->708), collapsing trans2 to trans1 — we fuse from the
+    actual trans2 candidate set, the clear intent.
+    """
+    B, N = pose6d.shape[:2]
+    common = dict(registry=registry, root_joint=root_joint, obj_ids=obj_ids,
+                  is_right=is_right, cam_intrinsic=cam_intrinsic,
+                  heatmap=heatmap, bbox=bbox)
+
+    topk, w = obj_topk_by_heatmap(pose6d=pose6d, k=k, **common)
+    fused_trans1 = obj_fuse_topk(pose6d, topk, w if is_weight else None)[:, 6:]
+
+    p_rot1 = pose6d.at[..., 6:].set(fused_trans1[:, None])
+    topk, w = obj_topk_by_heatmap(pose6d=p_rot1, k=k, **common)
+    fused_rot1 = obj_fuse_topk(p_rot1, topk, w if is_weight else None)[:, :6]
+
+    p_trans2 = pose6d.at[..., :6].set(fused_rot1[:, None])
+    topk_t2, _ = obj_topk_by_heatmap(pose6d=p_trans2, k=k, **common)
+    p_rot2 = pose6d.at[..., 6:].set(fused_trans1[:, None])
+    topk_r2, _ = obj_topk_by_heatmap(pose6d=p_rot2, k=k, **common)
+
+    if force_selection:
+        assert force_point is not None and is_grasped is not None
+        phy_topk = min(phy_topk, k * k)
+        trans2_cand = take_candidates(p_trans2, topk_t2).at[..., :6].set(0.0)
+        rot2_cand = take_candidates(p_rot2, topk_r2).at[..., 6:].set(0.0)
+        cand = (trans2_cand[:, None] + rot2_cand[:, :, None]).reshape(B, k * k, 9)
+        topk_p, _ = obj_topk_by_physics3(
+            registry, cand, root_joint, obj_ids, is_right,
+            force_point, force_global, phy_topk)
+        topk_h, _ = obj_topk_by_heatmap(pose6d=cand, k=phy_topk, **common)
+        grasped = is_grasped.astype(bool)[:, None]
+        new_topk = jnp.where(grasped, topk_p, topk_h)
+        fused = obj_fuse_topk(cand, new_topk)            # unweighted (ref :706)
+    else:
+        t2 = obj_fuse_topk(p_trans2, topk_t2)[:, 6:]
+        r2 = obj_fuse_topk(p_rot2, topk_r2)[:, :6]
+        fused = jnp.concatenate([r2, t2], axis=-1)
+    return _obj_result(registry, fused, root_joint, obj_ids, is_right, pose6d)
+
+
 def obj_select_by_2d_pt(registry: YCBRegistry, pose6d: Array, root_joint: Array,
                         obj_ids: Array, is_right: Array, cam_intrinsic: Array,
                         heatmap: Array, bbox: Array, k: int) -> Dict[str, Array]:
@@ -629,6 +718,14 @@ def aggregate_obj(mode: str, registry: YCBRegistry, **kw) -> Dict[str, Array]:
     these cover the CLI's non-default choices.
     """
     common = (kw["pose6d"], kw["root_joint"], kw["obj_ids"], kw["is_right"])
+    if mode == "heatmap_cascade":
+        return obj_heatmap_cascade(
+            registry, *common, kw["cam_intrinsic"], kw["heatmap"], kw["bbox"],
+            kw["k"], is_weight=kw.get("is_weight", True),
+            force_selection=kw.get("force_selection", False),
+            force_point=kw.get("force_point"),
+            force_global=kw.get("force_global"),
+            is_grasped=kw.get("is_grasped"))
     if mode == "heatmap":
         topk, weight = obj_topk_by_heatmap(
             registry, *common, kw["cam_intrinsic"], kw["heatmap"], kw["bbox"], kw["k"])

@@ -107,13 +107,15 @@ class Encoder(nn.Module):
 class HeadHeatmap(nn.Module):
     """Keypoint heatmap head (HeadHeatmap2, head_inplane.py:42-113).
 
-    conv3x3(C->256) -> conv3x3 -> BN -> LReLU -> deconv4x4/s2(128) -> BN ->
+    conv3x3(C->h) -> conv3x3 -> BN -> LReLU -> deconv4x4/s2(h/2) -> BN ->
     ReLU -> 1x1(out).  32x32 ROI features -> 64x64 heatmaps.
     Output stays NHWC; callers transpose if they need (B, J, H, W).
+    Default hidden_dim 128 matches the reference instantiation
+    ``HeadHeatmap2(256, {21,27}, 128)`` (VPHO.py:61-62).
     """
 
     out_dim: int
-    hidden_dim: int = 256
+    hidden_dim: int = 128
     dtype: Any = None
 
     @nn.compact
@@ -122,7 +124,10 @@ class HeadHeatmap(nn.Module):
         x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init, dtype=d)(x)
         x = nn.Conv(self.hidden_dim, (3, 3), padding=1, kernel_init=conv_init, dtype=d)(x)
         x = TorchBatchNorm(use_running_average=not train, dtype=d)(x)
-        x = lrelu(x)
+        # the reference's activation here is ``nn.LeakyReLU(True)``
+        # (head_inplane.py:43) — whose first positional arg is
+        # negative_slope, so slope=1.0 == IDENTITY.  We replicate the
+        # trained network's true function (pinned by test_head_heatmap_parity)
         x = nn.ConvTranspose(self.hidden_dim // 2, (4, 4), strides=(2, 2),
                              padding="SAME", use_bias=False,
                              kernel_init=conv_init, dtype=d)(x)

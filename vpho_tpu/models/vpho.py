@@ -60,6 +60,13 @@ class ModelConfig:
     topk_obj: int = 5
     ode_method: str = "rk4"
     compute_dtype: str = "float32"  # "bfloat16" for the bf16 trunk policy
+    # aggregation CLI surface (args.py:233-246; the reference parses these but
+    # its live path hardcodes the defaults — here they are live)
+    aggregation_mode_hand: str = "heatmap_cascade"
+    aggregation_mode_obj: str = "heatmap_cascade"
+    do_weighted_average: bool = True
+    do_physics_selection: bool = True
+    use_regression_as_candidate: bool = True
     # loss weights (argparse defaults, lib/configs/args.py:202-223)
     weight_diff_hand_loss: float = 1.0
     weight_diff_obj_loss: float = 1.0
@@ -413,29 +420,68 @@ def forward_predict(
         pd_dt["diff_inprocess_hand_6d"] = traj[..., :96].reshape(B, S, -1, 96)
         pd_dt["diff_inprocess_obj_6d"] = traj[..., 96:].reshape(B, S, -1, 9)
 
-    # 5-stage HOI aggregation
-    hoi = agg.hoi_aggregate(
-        ctx.mano, ctx.registry, ctx.anchor_tables,
+    # aggregation: the default heatmap_cascade/heatmap_cascade pair runs the
+    # full 5-stage HOI orchestration; any other --aggregation_mode_hand/obj
+    # choice dispatches to the standalone aggregators (args.py:235-245)
+    mode_h, mode_o = cfg.aggregation_mode_hand, cfg.aggregation_mode_obj
+    if mode_h == "heatmap_cascade" and mode_o == "heatmap_cascade":
+        hoi = agg.hoi_aggregate(
+            ctx.mano, ctx.registry, ctx.anchor_tables,
+            cam_intrinsic=batch["cam_intr_crop_flip"],
+            root_joint_flip=batch["root_joint_flip"],
+            root_joint=batch["root_joint"],
+            is_right=batch["is_right"],
+            force_local=out["pd_phy"]["force_local"],
+            is_grasped=batch["is_grasped"],
+            hand_pose_diff=hand_mano[..., :48],
+            hand_pose_regression=out["pd_mano_pose"],
+            hand_shape=hand_mano[..., 48:],
+            hand_heatmap=out["pd_hm_hand"],
+            hand_bbox=batch["bbox_hand"],
+            hand_topk=cfg.topk_hand,
+            obj_pose6d=pd_dt["diff_final_obj_6d"],
+            obj_heatmap=out["pd_hm_obj"],
+            obj_bbox=batch["bbox_obj_rect"],
+            obj_topk=cfg.topk_obj,
+            obj_ids=batch["obj_id"],
+            is_weight=cfg.do_weighted_average,
+            use_regression_as_candidate=cfg.use_regression_as_candidate,
+            do_physics_selection=cfg.do_physics_selection,
+        )
+        pd_dt["agg_obj_6d"] = hoi["obj_agg_6d"]
+        pd_dt["agg_hand_mano"] = hoi["hand_agg_mano"]
+        pd_dt["agg_hand_vert"] = hoi["hand_agg_vert"]
+        pd_dt["agg_hand_joint"] = hoi["hand_agg_joint"]
+        return pd_dt
+
+    hand_res = agg.aggregate_hand(
+        mode_h, ctx.mano,
+        pose=hand_mano[..., :48], shape=hand_mano[..., 48:],
+        pose_regression=out["pd_mano_pose"],
+        root_joint=batch["root_joint_flip"],
         cam_intrinsic=batch["cam_intr_crop_flip"],
-        root_joint_flip=batch["root_joint_flip"],
-        root_joint=batch["root_joint"],
-        is_right=batch["is_right"],
-        force_local=out["pd_phy"]["force_local"],
-        is_grasped=batch["is_grasped"],
-        hand_pose_diff=hand_mano[..., :48],
-        hand_pose_regression=out["pd_mano_pose"],
-        hand_shape=hand_mano[..., 48:],
-        hand_heatmap=out["pd_hm_hand"],
-        hand_bbox=batch["bbox_hand"],
-        hand_topk=cfg.topk_hand,
-        obj_pose6d=pd_dt["diff_final_obj_6d"],
-        obj_heatmap=out["pd_hm_obj"],
-        obj_bbox=batch["bbox_obj_rect"],
-        obj_topk=cfg.topk_obj,
-        obj_ids=batch["obj_id"],
+        heatmap=out["pd_hm_hand"], bbox=batch["bbox_hand"], k=cfg.topk_hand,
+        is_weight=cfg.do_weighted_average,
+        use_regression_as_candidate=cfg.use_regression_as_candidate,
     )
-    pd_dt["agg_obj_6d"] = hoi["obj_agg_6d"]
-    pd_dt["agg_hand_mano"] = hoi["hand_agg_mano"]
-    pd_dt["agg_hand_vert"] = hoi["hand_agg_vert"]
-    pd_dt["agg_hand_joint"] = hoi["hand_agg_joint"]
+    # object cascade's force selection needs anchors on the aggregated hand
+    hand_vert_cam = hand_res["agg_vert"] + batch["root_joint_flip"][:, None]
+    force_point, force_global = anchor_lib.force_local_to_global(
+        ctx.anchor_tables, out["pd_phy"]["force_local"], hand_vert_cam)
+    obj_res = agg.aggregate_obj(
+        mode_o, ctx.registry,
+        pose6d=pd_dt["diff_final_obj_6d"],
+        root_joint=batch["root_joint"], obj_ids=batch["obj_id"],
+        is_right=batch["is_right"],
+        cam_intrinsic=batch["cam_intr_crop_flip"],
+        heatmap=out["pd_hm_obj"], bbox=batch["bbox_obj_rect"], k=cfg.topk_obj,
+        is_weight=cfg.do_weighted_average,
+        force_selection=cfg.do_physics_selection,
+        force_point=force_point, force_global=force_global,
+        is_grasped=batch["is_grasped"],
+    )
+    pd_dt["agg_obj_6d"] = obj_res["agg_6d"]
+    pd_dt["agg_hand_mano"] = hand_res["agg_hand_mano"]
+    pd_dt["agg_hand_vert"] = hand_res["agg_vert"]
+    pd_dt["agg_hand_joint"] = hand_res["agg_joint"]
     return pd_dt

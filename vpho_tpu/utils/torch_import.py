@@ -108,3 +108,280 @@ def load_torch_file(path: str):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     return {k: v.numpy() for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# full vpho_net state_dict import (reference checkpoints -> Flax variables)
+# ---------------------------------------------------------------------------
+
+
+def _linear_t(w) -> np.ndarray:
+    """torch Linear weight (out, in) -> flax Dense kernel (in, out)."""
+    return np.transpose(np.asarray(w), (1, 0))
+
+
+def _deconv(w) -> np.ndarray:
+    """torch ConvTranspose2d weight (in, out, kh, kw) -> flax ConvTranspose
+    kernel (kh, kw, in, out), spatially flipped (flax's conv_transpose applies
+    the kernel unflipped; torch's is the exact adjoint of a forward conv)."""
+    w = np.transpose(np.asarray(w), (2, 3, 0, 1))
+    return w[::-1, ::-1]
+
+
+class _Importer:
+    """Tracks consumed torch keys and writes into flax params/stats/buffers."""
+
+    def __init__(self, variables, state_dict):
+        import jax
+
+        self.params = jax.tree.map(np.asarray, variables["params"])
+        self.stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        self.buffers = jax.tree.map(np.asarray, variables["buffers"])
+        self.sd = {k: np.asarray(v) for k, v in state_dict.items()}
+        self.used: set = set()
+
+    def t(self, key):
+        self.used.add(key)
+        return self.sd[key]
+
+    def has(self, key):
+        return key in self.sd
+
+    def conv(self, tkey, *fpath):
+        _set(self.params, fpath + ("kernel",), _conv(self.t(tkey + ".weight")))
+        if tkey + ".bias" in self.sd:
+            _set(self.params, fpath + ("bias",), self.t(tkey + ".bias"))
+
+    def deconv(self, tkey, *fpath):
+        _set(self.params, fpath + ("kernel",), _deconv(self.t(tkey + ".weight")))
+
+    def linear(self, tkey, *fpath):
+        _set(self.params, fpath + ("kernel",), _linear_t(self.t(tkey + ".weight")))
+        _set(self.params, fpath + ("bias",), self.t(tkey + ".bias"))
+
+    def bn(self, tkey, *fpath):
+        base = fpath + ("BatchNorm_0",)
+        _set(self.params, base + ("scale",), self.t(tkey + ".weight"))
+        _set(self.params, base + ("bias",), self.t(tkey + ".bias"))
+        _set(self.stats, base + ("mean",), self.t(tkey + ".running_mean"))
+        _set(self.stats, base + ("var",), self.t(tkey + ".running_var"))
+        self.used.add(tkey + ".num_batches_tracked")
+
+    def residual(self, tkey, *fpath):
+        """encoding.py Residual: bn/conv1/bn1/conv2/bn2/conv3 ->
+        TorchBatchNorm_0/Conv_0/TorchBatchNorm_1/Conv_1/TorchBatchNorm_2/Conv_2."""
+        self.bn(tkey + ".bn", *fpath, "TorchBatchNorm_0")
+        self.conv(tkey + ".conv1", *fpath, "Conv_0")
+        self.bn(tkey + ".bn1", *fpath, "TorchBatchNorm_1")
+        self.conv(tkey + ".conv2", *fpath, "Conv_1")
+        self.bn(tkey + ".bn2", *fpath, "TorchBatchNorm_2")
+        self.conv(tkey + ".conv3", *fpath, "Conv_2")
+        if tkey + ".conv4.weight" in self.sd:
+            self.conv(tkey + ".conv4", *fpath, "Conv_3")
+
+    def bottleneck(self, tkey, *fpath):
+        """torchvision Bottleneck -> flax Bottleneck scope (see _copy_bottleneck)."""
+        for i, name in enumerate(["conv1", "conv2", "conv3"]):
+            self.conv(tkey + f".{name}", *fpath, f"Conv_{i}")
+            self.bn(tkey + f".bn{i+1}", *fpath, f"TorchBatchNorm_{i}")
+        if tkey + ".downsample.0.weight" in self.sd:
+            self.conv(tkey + ".downsample.0", *fpath, "Conv_3")
+            self.bn(tkey + ".downsample.1", *fpath, "TorchBatchNorm_3")
+
+    def mha(self, tkey, *fpath):
+        """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention.
+
+        in_proj packs [q; k; v] as (3*d, d); flax splits each into
+        (d, heads, head_dim) kernels computed as x @ kernel."""
+        d = self.t(tkey + ".in_proj_weight").shape[1]
+        w = self.t(tkey + ".in_proj_weight")
+        b = self.t(tkey + ".in_proj_bias")
+        # heads from the flax tree shape
+        node = self.params
+        for k in fpath + ("query", "kernel"):
+            node = node[k]
+        heads, head_dim = node.shape[1], node.shape[2]
+        for i, name in enumerate(["query", "key", "value"]):
+            wi = w[i * d:(i + 1) * d].T.reshape(d, heads, head_dim)
+            bi = b[i * d:(i + 1) * d].reshape(heads, head_dim)
+            _set(self.params, fpath + (name, "kernel"), wi)
+            _set(self.params, fpath + (name, "bias"), bi)
+        wo = self.t(tkey + ".out_proj.weight").T.reshape(heads, head_dim, d)
+        _set(self.params, fpath + ("out", "kernel"), wo)
+        _set(self.params, fpath + ("out", "bias"), self.t(tkey + ".out_proj.bias"))
+
+    def layernorm(self, tkey, *fpath):
+        _set(self.params, fpath + ("scale",), self.t(tkey + ".weight"))
+        _set(self.params, fpath + ("bias",), self.t(tkey + ".bias"))
+
+
+def load_vpho_state_dict(variables, state_dict, remove_keys=()):
+    """Map a reference vpho_net torch state_dict into our Flax variables.
+
+    Implements the reference's ``--pretrain`` + ``--remove_pretrained_keys``
+    semantics (train_diff_hand_obj.py:39-46): keys starting with any prefix in
+    ``remove_keys`` are dropped BEFORE mapping, and missing keys are tolerated
+    (load_state_dict(strict=False) behavior).
+
+    Returns (new_variables, report) where report lists imported / skipped /
+    unconsumed key groups.
+    """
+    sd = {k: v for k, v in state_dict.items()
+          if not any(k.startswith(r) for r in remove_keys)}
+    # strip a possible DDP "module." wrapper
+    if sd and all(k.startswith("module.") for k in sd):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+
+    imp = _Importer(variables, sd)
+    done, missing = [], []
+
+    def do(fn, tkey, *fpath):
+        probes = (tkey, tkey + ".weight", tkey + ".conv1.weight",
+                  tkey + ".in_proj_weight")
+        if not any(p in imp.sd for p in probes):
+            missing.append(tkey)
+            return
+        fn(tkey, *fpath)
+        done.append(tkey)
+
+    # -- feature_extractor (FPN, backbone_FPN_HFL.py:20-109) -------------
+    fe = "feature_extractor"
+    do(imp.conv, f"{fe}.layer0_h.0", fe, "stem", "Conv_0")
+    do(imp.bn, f"{fe}.layer0_h.1", fe, "stem", "TorchBatchNorm_0")
+    layer_map = {  # (torch name, flax name, num bottlenecks)
+        "layer1_h.0": ("layer1", 3), "layer2_h.0": ("layer2_h", 4),
+        "layer2_o.0": ("layer2_o", 4), "layer3_h.0": ("layer3_h", 6),
+        "layer3_o.0": ("layer3_o", 6), "layer4_h.0": ("layer4", 3),
+    }
+    for tname, (fname, nb) in layer_map.items():
+        for b in range(nb):
+            do(imp.bottleneck, f"{fe}.{tname}.{b}", fe, fname, f"Bottleneck_{b}")
+    for nm in ["toplayer_h", "toplayer_o", "latlayer1_h", "latlayer2_h",
+               "latlayer3_h", "latlayer1_o", "latlayer2_o", "latlayer3_o",
+               "smooth3_h", "smooth3_o"]:
+        do(imp.conv, f"{fe}.{nm}", fe, nm)
+
+    # -- heatmap heads (HeadHeatmap2, head_inplane.py:42-113) ------------
+    for side in ["hand", "obj"]:
+        t = f"head_hm_{side}"
+        do(imp.conv, f"{t}.conv_layers.0", t, "Conv_0")
+        do(imp.conv, f"{t}.conv_layers.1", t, "Conv_1")
+        do(imp.bn, f"{t}.conv_layers.2", t, "TorchBatchNorm_0")
+        do(imp.deconv, f"{t}.deconv_layers.0", t, "ConvTranspose_0")
+        do(imp.bn, f"{t}.deconv_layers.1", t, "TorchBatchNorm_1")
+        do(imp.conv, f"{t}.final_layer", t, "Conv_2")
+
+    # -- encoders (Encoder, encoding.py:39-73) ---------------------------
+    for side in ["hand", "obj"]:
+        t = f"encoder_{side}"
+        do(imp.conv, f"{t}.project", t, "Conv_0")
+        for i in range(8):
+            do(imp.residual, f"{t}.reg.{i}", t, f"Residual_{i}")
+
+    # -- head_mano (head_mano.py:28-76) -----------------------------------
+    do(imp.linear, "head_mano.base_layer.0", "head_mano", "Dense_0")
+    do(imp.linear, "head_mano.base_layer.2", "head_mano", "Dense_1")
+    do(imp.linear, "head_mano.fc_pose", "head_mano", "Dense_2")
+    do(imp.linear, "head_mano.fc_shape", "head_mano", "Dense_3")
+
+    # -- cross modules (cross_module.py:91-137) ---------------------------
+    for side in ["hand", "obj"]:
+        t = f"cross_{side}"
+        do(imp.conv, f"{t}.proj_hand", t, "Conv_0")
+        do(imp.conv, f"{t}.proj_obj", t, "Conv_1")
+        do(imp.linear, f"{t}.gravity_proj", t, "Dense_0")
+        tl = f"{t}.attn.layers.0"
+        fl = (t, "TransformerEncoderLayer_0")
+        do(imp.mha, f"{tl}.self_attn", *fl, "MultiHeadDotProductAttention_0")
+        do(imp.linear, f"{tl}.linear1", *fl, "Dense_0")
+        do(imp.linear, f"{tl}.linear2", *fl, "Dense_1")
+        do(imp.layernorm, f"{tl}.norm1", *fl, "LayerNorm_0")
+        do(imp.layernorm, f"{tl}.norm2", *fl, "LayerNorm_1")
+
+    # -- head_physics (physics.py:648-721) --------------------------------
+    for seq, fname in [("fc_scale", "fc_scale"), ("fc_weight", "fc_weight"),
+                       ("fc_CoM", "fc_CoM")]:
+        do(imp.linear, f"head_physics.{seq}.0", "head_physics", f"{fname}_0")
+        do(imp.linear, f"head_physics.{seq}.2", "head_physics", f"{fname}_1")
+    imp.used.add("head_physics.anchor")  # constant, rebuilt in friction_anchor_dirs
+
+    # -- denoisers (denoiser.py:34-82, ParallelLinear banks) -------------
+    def denoiser(t, f):
+        if f"{t}.t_encoder.0.W" in imp.sd:
+            _set(imp.buffers, (f, "fourier", "W"), imp.t(f"{t}.t_encoder.0.W"))
+            done.append(f"{t}.t_encoder.0.W")
+        do(imp.linear, f"{t}.t_encoder.1", f, "t_dense")
+        do(imp.linear, f"{t}.pose_encoder.0", f, "pose_dense1")
+        do(imp.linear, f"{t}.pose_encoder.2", f, "pose_dense2")
+        for layer, (kname, bname) in [("0", ("kernel1", "bias1")),
+                                      ("2", ("kernel2", "bias2"))]:
+            tk = f"{t}.head.head.{layer}"
+            if tk + ".weight" in imp.sd:
+                _set(imp.params, (f, "bank", kname), imp.t(tk + ".weight"))
+                _set(imp.params, (f, "bank", bname), imp.t(tk + ".bias"))
+                done.append(tk)
+            else:
+                missing.append(tk)
+
+    denoiser("denoiser_hand", "denoiser_hand")
+    denoiser("denoiser_obj", "denoiser_obj")
+
+    # head_obj registers YCB mesh buffers (head_object.py:13-33) and
+    # head_mano.mano_layer registers MANO tables — both are constants our
+    # context rebuilds from assets; mark them consumed
+    const_prefixes = ("head_obj.", "head_mano.mano_layer.")
+    for k in list(imp.sd):
+        if k.startswith(const_prefixes):
+            imp.used.add(k)
+
+    unconsumed = sorted(set(imp.sd) - imp.used)
+    new_vars = dict(variables)
+    new_vars["params"] = imp.params
+    new_vars["batch_stats"] = imp.stats
+    new_vars["buffers"] = imp.buffers
+    return new_vars, {"imported": done, "missing": missing,
+                      "unconsumed": unconsumed}
+
+
+def remove_flax_prefixes(tree, remove_keys=()):
+    """--remove_pretrained_keys for our own flax pickles: drop subtrees whose
+    '/'-joined path starts with any prefix."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(tree)
+    kept = {k: v for k, v in flat.items()
+            if not any("/".join(k).startswith(r) or ".".join(k).startswith(r)
+                       for r in remove_keys)}
+    return flax.traverse_util.unflatten_dict(kept)
+
+
+def load_pretrain(variables, path: str, remove_keys=()):
+    """--pretrain dispatch: .pth -> reference torch checkpoint import;
+    .pkl -> this framework's own final_model.pkl (merged non-strict)."""
+    import pickle
+
+    import flax
+
+    if path.endswith((".pth", ".pt")):
+        sd = load_torch_file(path)
+        return load_vpho_state_dict(variables, sd, remove_keys)
+
+    with open(path, "rb") as f:
+        saved = pickle.load(f)
+    report = {"imported": [], "missing": [], "unconsumed": []}
+    new_vars = dict(variables)
+    for coll in ("params", "batch_stats", "buffers"):
+        if coll not in saved or coll not in variables:
+            continue
+        src = flax.traverse_util.flatten_dict(
+            remove_flax_prefixes(saved[coll], remove_keys))
+        dst = flax.traverse_util.flatten_dict(variables[coll])
+        for k, v in src.items():
+            if k in dst:
+                assert dst[k].shape == tuple(np.shape(v)), (coll, k)
+                dst[k] = np.asarray(v)
+                report["imported"].append(coll + "/" + "/".join(k))
+            else:
+                report["unconsumed"].append(coll + "/" + "/".join(k))
+        new_vars[coll] = flax.traverse_util.unflatten_dict(dst)
+    return new_vars, report
