@@ -152,3 +152,67 @@ class TestConfigCLI:
         mc = cfg.to_model_config()
         assert mc.sampling_steps == 50
         assert mc.weight_hm_hand_loss == 1e3
+
+
+class TestSignedContact:
+    """Signed banded contact labeling (physics_fn.py:47-112 semantics),
+    hand-computed cases with penetrating + separated vertices."""
+
+    def _grid_mesh(self):
+        # 3x3 flat grid in the z=0 plane; outward normal = +z
+        import numpy as np
+        xs, ys = np.meshgrid(np.arange(3) * 0.01, np.arange(3) * 0.01)
+        v = np.stack([xs.ravel(), ys.ravel(), np.zeros(9)], -1).astype(np.float32)
+        f = []
+        for r in range(2):
+            for c in range(2):
+                a = r * 3 + c
+                f += [[a, a + 1, a + 3], [a + 1, a + 4, a + 3]]
+        return v, np.asarray(f, np.int64)
+
+    def test_penetrating_and_separated(self):
+        import numpy as np
+
+        from vpho_tpu.data.dexycb import signed_contact_weights, vertex_normals
+
+        v, f = self._grid_mesh()
+        n = vertex_normals(v, f)
+        np.testing.assert_allclose(n[:, 2], 1.0, atol=1e-6)  # all +z
+
+        center = v[4]
+        # object point 2mm ABOVE the center vertex -> that vertex sits 2mm
+        # BELOW the surface along its normal: nd = -0.002 (penetrating, in band)
+        obj = np.array([center + [0, 0, 0.002]], np.float32)
+        w = signed_contact_weights(v, f, obj)
+        assert w[4] > 0.5, w
+        # nd at the far corner is dominated by tangential offset -> masked out
+        assert w[0] == 0.0
+
+        # object point 5 cm above: outside the band entirely
+        far = np.array([center + [0, 0, 0.05]], np.float32)
+        assert signed_contact_weights(v, f, far).max() == 0.0
+
+        # object point 5 cm BELOW (hand floats above object): nd = +0.05, out
+        below = np.array([center - [0, 0, 0.05]], np.float32)
+        assert signed_contact_weights(v, f, below).max() == 0.0
+
+        # just-touching from below: nd = +0.004 (inside decay band edge)
+        touch = np.array([center - [0, 0, 0.004]], np.float32)
+        wt = signed_contact_weights(v, f, touch)
+        assert 0.0 < wt[4] <= 1.0
+
+        # deep penetration beyond lo: nd = -0.02 -> masked
+        deep = np.array([center + [0, 0, 0.02]], np.float32)
+        assert signed_contact_weights(v, f, deep).max() == 0.0
+
+    def test_band_weight_peaks_at_zero(self):
+        import numpy as np
+
+        from vpho_tpu.native import contact_weight
+
+        x = np.linspace(-0.02, 0.02, 801).astype(np.float32)
+        w = contact_weight(x)
+        assert abs(w[400] - 1.0) < 1e-3            # peak-normalized at nd=0
+        assert w[0] < 1e-3 and w[-1] < 1e-3        # decays outside the band
+        mid = contact_weight(np.array([-0.0075, 0.0075], np.float32))
+        np.testing.assert_allclose(mid, [0.5, 0.5], atol=0.01)  # half-power at mids

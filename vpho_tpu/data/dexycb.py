@@ -109,6 +109,47 @@ def filter_artiboost(sample: dict, registry: YCBRegistry, thresh_mm: float = 50.
 # ---------------------------------------------------------------------------
 
 
+def vertex_normals(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
+    """Area-weighted per-vertex normals of a triangle mesh (numpy, host-side).
+
+    Matches trimesh's convention used by the reference's contact labeling
+    (base.py builds hand normals from the posed MANO mesh via trimesh).
+    """
+    v = np.asarray(verts, np.float32)
+    f = np.asarray(faces, np.int64)
+    fn = np.cross(v[f[:, 1]] - v[f[:, 0]], v[f[:, 2]] - v[f[:, 0]])  # area-weighted
+    out = np.zeros_like(v)
+    for i in range(3):
+        np.add.at(out, f[:, i], fn)
+    norm = np.linalg.norm(out, axis=-1, keepdims=True)
+    return out / np.maximum(norm, 1e-12)
+
+
+def signed_contact_weights(hand_vert: np.ndarray, faces: np.ndarray,
+                           obj_pts: np.ndarray, lo: float = -0.01,
+                           hi: float = 0.01, decay_lo: float = -0.005,
+                           decay_hi: float = 0.005,
+                           tangential_thresh: float = 0.01) -> np.ndarray:
+    """Signed banded contact weights (detect_hand_and_object_contact,
+    physics_fn.py:47-112):
+      nd = dot(hand_vert - nearest_obj_pt, hand_vertex_normal)   (signed!)
+      mask: lo < nd < hi  AND  tangential offset < tangential_thresh
+      weight: peak-normalized double-sigmoid band over nd.
+    """
+    from ..native import contact_weight, min_dist as _native_min_dist
+
+    hand_vert = np.asarray(hand_vert, np.float32)
+    _, idx = _native_min_dist(hand_vert, np.asarray(obj_pts, np.float32))
+    normals = vertex_normals(hand_vert, faces)
+    vec = hand_vert - np.asarray(obj_pts, np.float32)[idx]
+    nd = np.sum(vec * normals, axis=-1)
+    tangential = np.linalg.norm(vec - nd[:, None] * normals, axis=-1)
+    w = contact_weight(nd, lo=lo, hi=hi, decay_lo=decay_lo, decay_hi=decay_hi)
+    mask = (nd > lo) & (nd < hi) & (tangential < tangential_thresh)
+    w[~mask] = 0.0
+    return w.astype(np.float32)
+
+
 def _aa_to_mat(aa: np.ndarray) -> np.ndarray:
     theta = np.linalg.norm(aa)
     if theta < 1e-9:
@@ -301,21 +342,22 @@ class DexYCBForceDataset:
         return np.zeros((32, 3), np.float32)
 
     def get_contact(self, color_file: str, hand_vert: np.ndarray, obj_id: int,
-                    obj_rt: np.ndarray) -> np.ndarray:
-        """Per-vertex contact: cache if present, else direct NN distance calc
-        (replaces base.py:694-838's render+sklearn pipeline with a plain
-        nearest-distance weighting — the sigmoid weighting of
-        physics_fn.py:96-112 on vertex-to-surface distances)."""
+                    obj_rt: np.ndarray, is_right: bool = True) -> np.ndarray:
+        """Per-hand-vertex contact weight: SIGNED normal distance to the
+        nearest object point pushed through the sigmoid band
+        (detect_hand_and_object_contact, physics_fn.py:47-112):
+          nd = dot(hand_vert - nearest_obj_vert, hand_vertex_normal)
+          mask: lo < nd < hi AND tangential offset < 1 cm
+          weight: 1/((1+e^{-1600(nd-mid1)})(1+e^{1600(nd-mid2)})), peak-normalized.
+        Remaining gap vs the reference (documented, DEVIATIONS.md D9): the
+        reference additionally renders object front/back depth (PyTorch3D,
+        base.py:472-500,632-688) to resolve through-object sign for occluded
+        vertices; we use the sampled-point NN + hand normals instead."""
         verts = np.asarray(self.registry.verts_sampled[obj_id])
         obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
-        from ..native import min_dist as _native_min_dist
-
-        dist, _ = _native_min_dist(hand_vert.astype(np.float32),
-                                   obj_cam.astype(np.float32))
-        lo, hi = self.cfg.contact_normal_distance_thresh if hasattr(
-            self.cfg, "contact_normal_distance_thresh") else (-0.01, 0.01)
-        contact = np.clip(1.0 - dist / max(hi, 1e-3), 0.0, 1.0)
-        return contact.astype(np.float32)
+        faces = (self.mano_r if is_right else self.mano_l).faces
+        lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
+        return signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi)
 
     def __len__(self):
         return len(self.index_ls)
@@ -361,7 +403,8 @@ class DexYCBForceDataset:
 
         # contact -> anchors -> is_grasped (host-side numpy)
         gt_vert0, _ = get_hand_vert(aa_flat, beta, global_rot, transl, is_right)
-        contact = self.get_contact(sample["color_file"], gt_vert0, obj_id, obj_rt)
+        contact = self.get_contact(sample["color_file"], gt_vert0, obj_id,
+                                   obj_rt, is_right)
         force_contact = anchor_lib.pool_contact_to_anchors_np(self.tables, contact)
         is_grasped = anchor_lib.check_is_grasped_np(force_contact)
         force_local = self.get_force(sample["color_file"])
