@@ -125,10 +125,13 @@ class TestObjCascadeStandalone:
         assert plain["agg_6d"].shape == (B, 9)
         assert np.isfinite(np.asarray(plain["agg_obj_vert"])).all()
 
+        # phy_topk < k*k so the re-rank genuinely selects a subset (at
+        # phy_topk >= k*k every combination is kept and the unweighted fuse
+        # degenerates to the plain trans2+rot2 mean)
         forced = agg.obj_heatmap_cascade(
             registry, pose6d, root, ids, jnp.ones((B,), bool), _camera(B),
             hm, bbox, k=2, force_selection=True, force_point=fp,
-            force_global=fg, is_grasped=jnp.array([1.0, 1.0]))
+            force_global=fg, is_grasped=jnp.array([1.0, 1.0]), phy_topk=2)
         assert forced["agg_6d"].shape == (B, 9)
         assert not np.allclose(np.asarray(plain["agg_6d"]),
                                np.asarray(forced["agg_6d"]))
@@ -138,7 +141,7 @@ class TestObjCascadeStandalone:
         ungrasped = agg.obj_heatmap_cascade(
             registry, pose6d, root, ids, jnp.ones((B,), bool), _camera(B),
             hm, bbox, k=2, force_selection=True, force_point=fp,
-            force_global=fg, is_grasped=jnp.array([0.0, 0.0]))
+            force_global=fg, is_grasped=jnp.array([0.0, 0.0]), phy_topk=2)
         assert not np.allclose(np.asarray(forced["agg_6d"]),
                                np.asarray(ungrasped["agg_6d"]))
 

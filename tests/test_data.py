@@ -216,3 +216,29 @@ class TestSignedContact:
         assert w[0] < 1e-3 and w[-1] < 1e-3        # decays outside the band
         mid = contact_weight(np.array([-0.0075, 0.0075], np.float32))
         np.testing.assert_allclose(mid, [0.5, 0.5], atol=0.01)  # half-power at mids
+
+
+class TestRandomErasingModes:
+    def test_modes_fill_differently(self):
+        import numpy as np
+
+        from vpho_tpu.data.augment import AugmentConfig, ImageAugmentor
+
+        img = np.ones((32, 32, 3), np.float32)
+
+        def erased_region(mode, seed=3):
+            aug = ImageAugmentor(AugmentConfig(
+                random_erasing_prob=1.0, random_erasing_mode=mode))
+            out = aug.run_random_erasing(img, np.random.RandomState(seed))
+            mask = np.any(out != 1.0, axis=-1)
+            assert mask.any(), mode
+            return out, mask
+
+        const, m = erased_region("const")
+        assert np.all(const[m] == 0.0)
+        rand, m = erased_region("rand")
+        region = rand[m]
+        # one color per region: zero variance within the region per channel
+        assert np.allclose(region.std(axis=0), 0.0, atol=1e-6)
+        pixel, m = erased_region("pixel")
+        assert pixel[m].std() > 0.1

@@ -85,7 +85,10 @@ class TestManoFK:
         shape = jnp.zeros((3, 10))
         v1, j1 = fk(pose, shape)
         v2, j2 = M.mano_fk(model, pose, shape)
-        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+        # jit fusion reorders f32 reductions; synthetic verts are O(100), so
+        # tolerate relative rounding (observed max rel diff ~3e-7)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=2e-6, atol=1e-5)
 
     def test_grad_flows(self, model):
         def loss(pose):

@@ -43,6 +43,9 @@ class AugmentConfig:
     random_erasing_min_area: float = 0.02
     random_erasing_max_area: float = 0.2
     random_erasing_max_count: int = 1
+    # timm RandomErasing fill mode (base.py:391, --random_erasing_mode):
+    # 'pixel' per-pixel noise, 'rand' one noise color per region, 'const' zeros
+    random_erasing_mode: str = "pixel"
 
 
 class ImageAugmentor:
@@ -118,6 +121,15 @@ class ImageAugmentor:
                     y = rng.randint(0, H - h)
                     x = rng.randint(0, W - w)
                     img = img.copy()
-                    img[y:y + h, x:x + w] = rng.randn(h, w, img.shape[2]).astype(img.dtype)
+                    if c.random_erasing_mode == "pixel":
+                        fill = rng.randn(h, w, img.shape[2])
+                    elif c.random_erasing_mode == "rand":
+                        fill = np.broadcast_to(rng.randn(1, 1, img.shape[2]),
+                                               (h, w, img.shape[2]))
+                    elif c.random_erasing_mode == "const":
+                        fill = np.zeros((h, w, img.shape[2]))
+                    else:
+                        raise ValueError(c.random_erasing_mode)
+                    img[y:y + h, x:x + w] = fill.astype(img.dtype)
                     break
         return img

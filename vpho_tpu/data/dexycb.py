@@ -227,6 +227,7 @@ class DexYCBForceDataset:
             random_erasing_min_area=cfg.random_erasing_min_area,
             random_erasing_max_area=cfg.random_erasing_max_area,
             random_erasing_max_count=int(cfg.random_erasing_max_count),
+            random_erasing_mode=cfg.random_erasing_mode,
         ))
         self.samples, self.index_ls = self._load_samples()
         self.date2extr, self.date_ls = self._load_cam_extr()

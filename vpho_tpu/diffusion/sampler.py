@@ -37,7 +37,10 @@ def _ode_rhs(score_fn: ScoreFn, sde: SDE, x: jax.Array, t: jax.Array) -> jax.Arr
     scalar coefficient — a latent bug on its never-used non-VE path).
     """
     drift_coeff, diffusion = sde.sde(t)
-    score = score_fn(x, jnp.broadcast_to(t, (x.shape[0], 1)))
+    # the step time is ONE scalar shared by every hypothesis: pass it as
+    # (1, 1) so the denoiser's t-encoder + bank t-slice compute once per
+    # step and broadcast (exact algebra; see BankMLPHead docstring)
+    score = score_fn(x, jnp.reshape(t, (1, 1)))
     score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)  # ref :69-71
     return drift_coeff * x - 0.5 * (diffusion**2) * score
 
@@ -103,7 +106,7 @@ def ode_sampler(
     if denoise:
         t_eps = jnp.asarray(sde.eps, x_final.dtype)
         drift_coeff, diffusion = sde.sde(t_eps)
-        score = score_fn(x_final, jnp.full((batch_size, 1), sde.eps, x_final.dtype))
+        score = score_fn(x_final, jnp.full((1, 1), sde.eps, x_final.dtype))
         score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
         drift = drift_coeff * x_final - (diffusion**2) * score  # reverse-SDE drift
         x_final = x_final + drift * ((1.0 - sde.eps) / num_steps)

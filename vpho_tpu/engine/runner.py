@@ -75,6 +75,12 @@ def run(cfg: Config):
             f"--mode {cfg.mode} is non-functional in the reference "
             "(zhoujun-7/VPHO main.py:12-15) and intentionally not rebuilt")
 
+    # multi-host bring-up (single-process no-op); replaces Accelerate's
+    # torch.distributed init (base_trainer.py:22)
+    from ..parallel.mesh import init_distributed
+
+    init_distributed()
+
     trainer = Trainer(cfg)
     log = trainer.logger
     if cfg.eval_repeat_num != 50:

@@ -40,6 +40,19 @@ class TesterHand:
             out = {k: v[np.asarray(valid)] for k, v in out.items()}
         self._rows.append(out)
 
+
+    def gather_rows(self):
+        """Multi-host metric gather: pool per-process host rows before
+        reporting — the gather_for_metrics(use_gather_object=True)
+        equivalent (train_diff_hand_obj.py:333-335).  Single-process no-op."""
+        from ..parallel.mesh import process_allgather
+
+        import jax as _jax
+        if _jax.process_count() == 1:
+            return
+        gathered = process_allgather(self._rows)
+        self._rows = [r for rows in gathered for r in rows]
+
     def result(self) -> Dict[str, Dict[str, float]]:
         if not self._rows:
             return {}
@@ -82,6 +95,19 @@ class TesterObject:
         if valid is not None:
             out = {k: v[np.asarray(valid)] for k, v in out.items()}
         self._rows.append(out)
+
+
+    def gather_rows(self):
+        """Multi-host metric gather: pool per-process host rows before
+        reporting — the gather_for_metrics(use_gather_object=True)
+        equivalent (train_diff_hand_obj.py:333-335).  Single-process no-op."""
+        from ..parallel.mesh import process_allgather
+
+        import jax as _jax
+        if _jax.process_count() == 1:
+            return
+        gathered = process_allgather(self._rows)
+        self._rows = [r for rows in gathered for r in rows]
 
     def result(self) -> Dict[str, Dict[str, float]]:
         if not self._rows:
@@ -146,9 +172,17 @@ def evaluate_prediction_pkl(path: str, registry: YCBRegistry):
     # criteria are computed with a nominal K (they are reported but marked)
     import numpy as _np
 
+    nominal_k = False
     for r in rows:
         n = r["pd_obj_rt"].shape[0]
         K = _np.tile(_np.array([[600.0, 0, 320], [0, 600.0, 240], [0, 0, 1]],
                                _np.float32), (n, 1, 1))
+        nominal_k = nominal_k or "cam_intr" not in r
         t_obj.add_batch(r["pd_obj_rt"], r["gt_obj_rt"], r["obj_id"], r.get("cam_intr", K))
-    return t_obj.report()
+    report = t_obj.report()
+    if nominal_k:
+        # mark, don't silently report: REP/REP5 are pixel-space and depend on K
+        for key in ("REP", "REP5"):
+            if key in report:
+                report[f"{key} (nominal-K!)"] = report.pop(key)
+    return report

@@ -307,6 +307,12 @@ class Trainer:
         t0 = time.time()
         last = {}
         for i, batch in enumerate(batches):
+            n = next(iter(batch.values())).shape[0]
+            if n % self.mesh.size:
+                raise ValueError(
+                    f"train batch size {n} must be divisible by the "
+                    f"{self.mesh.size}-device mesh (set --batch_size or "
+                    f"--num_devices accordingly)")
             batch = shard_batch(batch, self.mesh)
             self.state, loss_dt = self._train_step(self.state, batch, rng)
             last = loss_dt
@@ -343,6 +349,17 @@ class Trainer:
         for i, batch in enumerate(batches):
             valid = batch.pop("_valid", None)
             index = batch.pop("_index", None)
+            # eval batches must divide the mesh; pad + mask (lossless)
+            n = next(iter(batch.values())).shape[0]
+            m = self.mesh.size
+            if n % m:
+                target = -(-n // m) * m
+                batch, pad_valid = pad_batch_to(batch, target)
+                valid = pad_valid if valid is None else np.concatenate(
+                    [np.asarray(valid), np.zeros(target - n, bool)])
+                if index is not None:
+                    index = np.concatenate(
+                        [np.asarray(index), np.full(target - n, -1)])
             jbatch = shard_batch(batch, self.mesh)
             if i == 0:
                 # FLOPs/params at eval batch 0 (train_diff_hand_obj.py:220-221)
@@ -428,6 +445,15 @@ class Trainer:
                 except Exception as e:  # viz must never break eval
                     self.logger.warning(f"viz dump failed: {e}")
 
+        # multi-host: pool every process's rows before reporting
+        # (gather_for_metrics equivalent); single-process no-op
+        for t in list(testers_hand.values()) + list(testers_obj.values()):
+            t.gather_rows()
+        if jax.process_count() > 1:
+            from ..parallel.mesh import process_allgather
+
+            collector_res = [r for rows in process_allgather(collector_res)
+                             for r in rows]
         report = {
             "hand": {k: t.report_mm() for k, t in testers_hand.items()},
             "object": {k: t.report() for k, t in testers_obj.items()},

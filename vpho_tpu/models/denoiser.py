@@ -84,6 +84,13 @@ class BankMLPHead(nn.Module):
     """num-bank 2-layer MLP head over [t | pose | feat] with a splittable
     first layer (see module docstring).  Equivalent to
     ``ParallelLinear(1408, 256, num) -> ReLU -> zero ParallelLinear(256, k)``.
+
+    The first layer is linear, so each input slice projects independently:
+      h = W_t t_feat + W_p pose_feat + W_f feat + b.
+    Inside the ODE loop the conditioning ``feat`` is constant per sample
+    (precomputed once) and ``t`` is ONE scalar shared by all B*S hypotheses
+    per step (t_feat arrives with batch 1 and broadcasts) — only the pose
+    slice (256 of 1408 input dims) is recomputed per hypothesis per eval.
     """
 
     num: int
@@ -116,13 +123,18 @@ class BankMLPHead(nn.Module):
         feat, w = self._cast(feat, w)
         return jnp.einsum("bc,ncd->bnd", feat, w)
 
-    def __call__(self, tp_feat: jax.Array, feat: jax.Array | None = None,
+    def __call__(self, t_feat: jax.Array, pose_feat: jax.Array,
+                 feat: jax.Array | None = None,
                  feat_proj: jax.Array | None = None) -> jax.Array:
-        """tp_feat: (B, 384) time+pose slice; provide either the raw ``feat``
-        (full recompute) or a precomputed ``feat_proj`` (B, num, hidden)."""
-        w_tp = self.kernel1[:, :TP_DIM]
-        tp_feat, w_tp, b1 = self._cast(tp_feat, w_tp, self.bias1)
-        h = jnp.einsum("bc,ncd->bnd", tp_feat, w_tp) + b1
+        """t_feat: (Bt, 128) with Bt in {1, B} (broadcasts over hypotheses);
+        pose_feat: (B, 256); provide either the raw ``feat`` (full recompute)
+        or a precomputed ``feat_proj`` (B, num, hidden)."""
+        w_t = self.kernel1[:, :T_DIM]
+        w_p = self.kernel1[:, T_DIM:TP_DIM]
+        t_feat, pose_feat, w_t, w_p, b1 = self._cast(
+            t_feat, pose_feat, w_t, w_p, self.bias1)
+        h = (jnp.einsum("bc,ncd->bnd", t_feat, w_t)
+             + jnp.einsum("bc,ncd->bnd", pose_feat, w_p) + b1)
         if feat_proj is None:
             assert feat is not None
             h = h + self.precompute_feat(feat)
@@ -181,11 +193,14 @@ class Denoiser(nn.Module):
         self.bank = BankMLPHead(num=HEAD_BANKS[self.head], out_dim=3,
                                 dtype=self.dtype)
 
-    def _tp_feat(self, sampled_pose: jax.Array, t: jax.Array) -> jax.Array:
+    def _tp_feat(self, sampled_pose: jax.Array, t: jax.Array):
+        """t: (Bt, 1) with Bt in {1, B} — the ODE loop passes the shared
+        per-step scalar as (1, 1) so the t-encoder and the bank's t-slice run
+        ONCE per step instead of once per hypothesis (exact broadcast)."""
         t_feat = nn.relu(self.t_dense(self.fourier(t[:, 0])))
         p = nn.relu(self.pose_dense1(sampled_pose))
         p = nn.relu(self.pose_dense2(p))
-        return jnp.concatenate([t_feat, p], axis=-1)
+        return t_feat, p
 
     def precompute_feat(self, feat: jax.Array) -> jax.Array:
         """Project the conditioning feature once per sample (B, num, 256)."""
@@ -194,13 +209,13 @@ class Denoiser(nn.Module):
     def __call__(self, feat: jax.Array, sampled_pose: jax.Array, t: jax.Array,
                  std: jax.Array) -> jax.Array:
         """Full path: feat (B, 1024); sampled_pose (B, D); t/std (B, 1)."""
-        tp = self._tp_feat(sampled_pose, t)
-        out = self.bank(tp, feat=feat)
+        t_feat, p = self._tp_feat(sampled_pose, t)
+        out = self.bank(t_feat, p, feat=feat)
         return out.astype(jnp.float32) / (std + 1e-7)
 
     def score_from_proj(self, feat_proj: jax.Array, sampled_pose: jax.Array,
                         t: jax.Array, std: jax.Array) -> jax.Array:
         """Fast path for the ODE loop: uses the precomputed feat projection."""
-        tp = self._tp_feat(sampled_pose, t)
-        out = self.bank(tp, feat_proj=feat_proj)
+        t_feat, p = self._tp_feat(sampled_pose, t)
+        out = self.bank(t_feat, p, feat_proj=feat_proj)
         return out.astype(jnp.float32) / (std + 1e-7)

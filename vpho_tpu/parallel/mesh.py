@@ -20,7 +20,53 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize``.
+
+    The reference's equivalent is Accelerate's torch.distributed/NCCL init
+    (base_trainer.py:22, rdzv via ddp01.yaml).  On TPU pods the three args
+    are auto-discovered from the environment; on CPU/GPU fleets pass them
+    explicitly.  No-op when already initialized or when single-process.
+    Returns the process index.
+    """
+    if jax.process_count() > 1:
+        return jax.process_index()
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        # single-process (no coordinator found): fine — SPMD still works
+        # across the local devices
+        pass
+    return jax.process_index()
+
+
+def process_allgather(obj):
+    """Host-side all-gather of arbitrary pytrees across processes — the
+    ``gather_for_metrics(use_gather_object=True)`` replacement
+    (train_diff_hand_obj.py:333-335).  Single-process: identity list."""
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    return list(multihost_utils.process_allgather(obj, tiled=False))
+
+
+def sync_processes(name: str = "barrier"):
+    """accel.wait_for_everyone() equivalent (train_diff_hand_obj.py:140)."""
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
 def make_mesh(num_devices: int | None = None, axis_name: str = "data") -> Mesh:
+    """1-D data mesh over ALL addressable devices (all hosts' devices on a
+    pod — jax.devices() is global under multi-host SPMD)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
