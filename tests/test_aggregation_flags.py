@@ -187,3 +187,26 @@ class TestForwardPredictDispatch:
             assert np.isfinite(np.asarray(alt[k])).all()
         assert not np.allclose(np.asarray(alt["agg_hand_mano"]),
                                np.asarray(default["agg_hand_mano"]))
+
+
+class TestCascadeNLevel:
+    def test_truncated_cascade_differs_and_matches_prefix(self, mano):
+        """heatmap_cascade_n_level == the full cascade truncated
+        (select_by_heatmap_cascade_n_level, aggregation.py:470-535)."""
+        kw = _hoi_kwargs(mano, jax.random.PRNGKey(5))
+        args = dict(pose=kw["hand_pose_diff"],
+                    pose_regression=kw["hand_pose_regression"],
+                    shape=kw["hand_shape"], root_joint=kw["root_joint_flip"],
+                    cam_intrinsic=kw["cam_intrinsic"],
+                    heatmap=kw["hand_heatmap"], bbox=kw["hand_bbox"], k=3)
+        full = agg.aggregate_hand("heatmap_cascade", mano, **args)
+        n2 = agg.aggregate_hand("heatmap_cascade_n_level", mano, n_level=2, **args)
+        n4 = agg.aggregate_hand("heatmap_cascade_n_level", mano, n_level=4, **args)
+        assert not np.allclose(np.asarray(full["agg_hand_mano"]),
+                               np.asarray(n2["agg_hand_mano"]))
+        np.testing.assert_allclose(np.asarray(full["agg_hand_mano"]),
+                                   np.asarray(n4["agg_hand_mano"]), atol=1e-6)
+        # level-0 (wrist) params agree: the prefix of the cascade is shared
+        np.testing.assert_allclose(
+            np.asarray(full["agg_hand_mano"][:, :3]),
+            np.asarray(n2["agg_hand_mano"][:, :3]), atol=1e-6)

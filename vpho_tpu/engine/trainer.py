@@ -442,6 +442,34 @@ class Trainer:
                             pd["diff_final_obj_6d"], root)[0]),
                         pd_rt_agg=np.asarray(pd_rt_agg[0]),
                         gt_hand=np.asarray(gt_vert[0]))
+                    # heatmap JPG grids + force pkl (reference evaluate
+                    # calls both every viz_freq batch, :300-329)
+                    viz.save_viz_heatmap(
+                        self.save_dir, i,
+                        rgb_norm=np.asarray(jbatch["rgb"][0]),
+                        bbox_hand=np.asarray(jbatch["bbox_hand"][0]),
+                        bbox_obj=np.asarray(jbatch["bbox_obj"][0]),
+                        pd_hm_hand=np.asarray(pd["hand_heatmap"][0]),
+                        gt_hm_hand=np.asarray(jbatch["hm_hand"][0])
+                        if "hm_hand" in jbatch else np.asarray(pd["hand_heatmap"][0]),
+                        pd_hm_obj=np.asarray(pd["obj_heatmap"][0]),
+                        gt_hm_obj=np.asarray(jbatch["hm_obj"][0])
+                        if "hm_obj" in jbatch else np.asarray(pd["obj_heatmap"][0]))
+                    from ..models import anchor as anchor_lib
+
+                    fp, fg = anchor_lib.force_local_to_global(
+                        self.ctx.anchor_tables, pd["force_local"][:1],
+                        pd_vert_agg[:1])
+                    rt_np = np.asarray(pd_rt_agg[0])
+                    viz.save_viz_force(
+                        self.save_dir, i,
+                        vert=np.asarray(pd_vert_agg[0]),
+                        force_point=np.asarray(fp[0]),
+                        force_global=np.asarray(fg[0]),
+                        gravity=np.asarray(jbatch["gravity"][0]),
+                        com=np.asarray(self.ctx.registry.com[obj_id0])[None]
+                        @ rt_np[:, :3].T + rt_np[:, 3],
+                        obj_mesh=gt_obj_vert0 @ rt_np[:, :3].T + rt_np[:, 3])
                 except Exception as e:  # viz must never break eval
                     self.logger.warning(f"viz dump failed: {e}")
 

@@ -183,8 +183,12 @@ def hand_heatmap_cascade(
     k: int,
     is_weight: bool = True,
     use_regression_as_candidate: bool = True,
+    n_levels: int = 4,
 ) -> Dict[str, Array]:
-    """4-level wrist->tip cascade (select_by_heatmap_cascade, :115-178)."""
+    """4-level wrist->tip cascade (select_by_heatmap_cascade, :115-178).
+
+    ``n_levels`` truncates the cascade — the reference's
+    select_by_heatmap_cascade_n_level dev variant (:470-535)."""
     B, S = pose.shape[:2]
     if use_regression_as_candidate:
         extra = jnp.broadcast_to(pose_regression[:, None], (B, S, 48))
@@ -192,7 +196,7 @@ def hand_heatmap_cascade(
         shape = jnp.concatenate([shape, shape], axis=1)
 
     levels: list[HandLevelData] = []
-    for level_i in range(4):
+    for level_i in range(n_levels):
         fuse_idx = MANO_PARAMS_LEVEL[level_i]
         observe_idx: list[int] = []
         for j in range(level_i + 1, 5):
@@ -596,12 +600,13 @@ def hand_select_by_2d_pt(mano: MANOModel, pose: Array, shape: Array,
 
 def aggregate_hand(mode: str, mano: MANOModel, **kw) -> Dict[str, Array]:
     """Mode dispatch (HandAggregator.__call__, :63-79)."""
-    if mode == "heatmap_cascade":
+    if mode in ("heatmap_cascade", "heatmap_cascade_n_level"):
         return hand_heatmap_cascade(
             mano, kw["pose"], kw["pose_regression"], kw["shape"], kw["root_joint"],
             kw["cam_intrinsic"], kw["heatmap"], kw["bbox"], kw["k"],
             is_weight=kw.get("is_weight", True),
-            use_regression_as_candidate=kw.get("use_regression_as_candidate", True))
+            use_regression_as_candidate=kw.get("use_regression_as_candidate", True),
+            n_levels=kw.get("n_level", 2) if mode.endswith("n_level") else 4)
     if mode == "heatmap":
         return hand_select_by_heatmap(
             mano, kw["pose"], kw["shape"], kw["root_joint"], kw["cam_intrinsic"],
