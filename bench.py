@@ -45,7 +45,7 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     dtype_name = os.environ.get("BENCH_DTYPE", "float32")
-    method = os.environ.get("BENCH_METHOD", "rk4")
+    method = os.environ.get("BENCH_METHOD", "heun")
     cfg = ModelConfig(sample_num=sample_num, sampling_steps=steps,
                       topk_hand=30, topk_obj=10, patch_size=256,
                       compute_dtype=dtype_name, ode_method=method)

@@ -200,13 +200,18 @@ class TestGradAccumulation:
     def test_params_update_only_on_accumulation_boundary(self, ctx):
         """gradient_accumulation_steps=2 (optax.MultiSteps): params frozen
         after the first micro-step, updated after the second
-        (accel.accumulate semantics, train_diff_hand_obj.py:176)."""
-        import dataclasses
+        (accel.accumulate semantics, train_diff_hand_obj.py:176).
 
+        Runs on a 1-device mesh: accumulation semantics are mesh-independent
+        (SPMD is pinned by TestTrainStepSPMD), and the MultiSteps step graph
+        emits a cross-module all-gather that deadlocks XLA:CPU's in-process
+        rendezvous on this 1-core host when 8 virtual devices contend for the
+        thread pool (7 of 8 join, the runtime aborts after 40s).
+        """
         cfg2 = Config(batch_size=8, sampling_steps=4, sample_num=3,
                       repeat_num=2, patch_size=64, topk_hand=2, topk_obj=2,
                       max_epochs=1, gradient_accumulation_steps=2)
-        mesh = make_mesh(8)
+        mesh = make_mesh(1)
         model = VPHONet()
         batch = jax.device_get(make_batch(ctx, jax.random.PRNGKey(0), 8, 64))
         state = create_train_state(model, ctx, cfg2, batch, 10,

@@ -126,7 +126,7 @@ class Config:
     aggregation_mode_obj: str = "heatmap_cascade"
     use_regression_as_candidate: bool = True
     # TPU-build extras (not in the reference CLI)
-    ode_method: str = "rk4"
+    ode_method: str = "heun"  # promotion rationale: ModelConfig.ode_method
     compute_dtype: str = "float32"
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
@@ -265,7 +265,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "average_all", "random"])
     p.add_argument("--use_regression_as_candidate", action="store_false")
     # TPU-build extras
-    p.add_argument("--ode_method", type=str, default="rk4",
+    p.add_argument("--ode_method", type=str, default="heun",
                    choices=["rk4", "heun", "euler"])
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])

@@ -58,7 +58,12 @@ class ModelConfig:
     sample_num: int = 50
     topk_hand: int = 15
     topk_obj: int = 5
-    ode_method: str = "rk4"
+    # heun by default: 2 score evals/step (vs rk4's 4) for ~1.3x eval
+    # throughput, and still MORE faithful to the true probability-flow ODE
+    # than the reference's adaptive RK45 at the blessed 50-step budget
+    # (tests/test_torch_parity.py three-way study: heun err 0.036, rk4 err
+    # 0.011, reference RK45 err 0.046).  --ode_method rk4 restores rk4.
+    ode_method: str = "heun"
     compute_dtype: str = "float32"  # "bfloat16" for the bf16 trunk policy
     # aggregation CLI surface (args.py:233-246; the reference parses these but
     # its live path hardcodes the defaults — here they are live)
