@@ -98,24 +98,49 @@ def grid_sample(input: jax.Array, grid: jax.Array, mode: str = "bilinear",
     return jax.vmap(lambda im, g: _grid_sample_single(im, g, mode, align_corners))(input, grid)
 
 
+def _keys_kernel(d: jax.Array, A: float = -0.75) -> jax.Array:
+    """Keys cubic-convolution kernel k(d), zero for |d| >= 2.
+
+    The piecewise closed form of the per-tap weights in ``_cubic_weights``:
+    evaluating it at every integer pixel offset reproduces exactly the 4
+    nonzero taps (w0..w3) and 0 elsewhere.
+    """
+    ad = jnp.abs(d)
+    ad2, ad3 = ad * ad, ad * ad * ad
+    near = (A + 2.0) * ad3 - (A + 3.0) * ad2 + 1.0        # |d| < 1
+    far = A * (ad3 - 5.0 * ad2 + 8.0 * ad - 4.0)          # 1 <= |d| < 2
+    return jnp.where(ad < 1.0, near, jnp.where(ad < 2.0, far, 0.0))
+
+
+def _tent_kernel(d: jax.Array) -> jax.Array:
+    """Bilinear (tent) kernel, zero for |d| >= 1."""
+    return jnp.maximum(1.0 - jnp.abs(d), 0.0)
+
+
 def sample_points(input: jax.Array, pts: jax.Array, mode: str = "bicubic",
                   align_corners: bool = False) -> jax.Array:
     """Sample per-channel values at per-channel point lists in one pass.
 
     input: (B, J, H, W); pts: (B, N, J, 2) normalized -> (B, N, J).
 
-    This fuses the reference's per-joint Python loop over ``F.grid_sample``
-    calls (aggregation.py:206-213, 767-774) into a single batched gather.
+    Replaces the reference's per-joint Python loop over ``F.grid_sample``
+    calls (aggregation.py:206-213, 767-774).  TPU formulation: interpolation
+    is separable, so instead of 16 scalar gathers per sample (XLA gathers
+    are the single slowest op family on TPU — measured ~50 ms per cascade
+    level at the blessed shapes) we evaluate the interpolation kernel
+    DENSELY over the full W and H axes (it is zero outside the 4-tap
+    window, so this is exact, including the zero padding outside the
+    image: out-of-range taps simply have no pixel to weight) and contract
+    with two einsums — pure MXU work, no gathers.
     """
     B, J, H, W = input.shape
-
-    def one(img_j, pts_j):  # (H, W), (N, 2)
-        return _grid_sample_single(img_j[None], pts_j[:, None], mode, align_corners)[0, :, 0]
-
-    def per_batch(img, p):  # (J, H, W), (N, J, 2)
-        return jax.vmap(one, in_axes=(0, 1), out_axes=1)(img, p)
-
-    return jax.vmap(per_batch)(input, pts)
+    kern = {"bicubic": _keys_kernel, "bilinear": _tent_kernel}[mode]
+    x = _unnormalize(pts[..., 0], W, align_corners)             # (B, N, J)
+    y = _unnormalize(pts[..., 1], H, align_corners)
+    wx = kern(jnp.arange(W, dtype=x.dtype) - x[..., None])      # (B, N, J, W)
+    wy = kern(jnp.arange(H, dtype=y.dtype) - y[..., None])      # (B, N, J, H)
+    rows = jnp.einsum("bjhw,bnjw->bnjh", input, wx)             # contract W
+    return jnp.einsum("bnjh,bnjh->bnj", rows, wy)               # contract H
 
 
 def _gather_2d_nhwc(img: jax.Array, ix: jax.Array, iy: jax.Array) -> jax.Array:
