@@ -6,7 +6,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
-from vpho_tpu.ops.image import grid_sample, roi_align, sample_points, resize_bilinear
+from vpho_tpu.ops.image import (grid_sample, resample_rectilinear, roi_align,
+                                sample_points, resize_bilinear)
 from vpho_tpu.ops.heatmap import gaussian_heatmap, adaptive_bbox_heatmap, square_bbox_heatmap
 
 
@@ -49,7 +50,63 @@ class TestGridSample:
         np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
 
+class TestResampleRectilinear:
+    def test_matches_grid_sample(self):
+        """Dense separable resample == gather grid_sample on the same
+        rectilinear grid (incl. out-of-range rows -> zero padding)."""
+        img = _rand(3, 5, 16, 20, seed=11)
+        rng = np.random.RandomState(12)
+        xs_n = (rng.rand(3, 9).astype(np.float32) * 2.4 - 1.2)  # normalized
+        ys_n = (rng.rand(3, 7).astype(np.float32) * 2.4 - 1.2)
+        grid = np.stack(np.broadcast_arrays(
+            xs_n[:, None, :], ys_n[:, :, None]), axis=-1).astype(np.float32)
+        ref = np.asarray(grid_sample(jnp.asarray(img), jnp.asarray(grid),
+                                     "bilinear", False))
+        xs = ((xs_n + 1.0) * 20 - 1.0) / 2.0
+        ys = ((ys_n + 1.0) * 16 - 1.0) / 2.0
+        ours = np.asarray(resample_rectilinear(
+            jnp.asarray(img), jnp.asarray(xs), jnp.asarray(ys)))
+        np.testing.assert_allclose(ours, ref, atol=2e-5)
+
+
 class TestRoiAlign:
+    def test_matches_looped_bilinear(self):
+        """Dense roi_align == per-sample-point bilinear loop (numpy)."""
+        H = W = 16
+        C, os_, sr, scale = 3, 4, 2, 0.25
+        img = _rand(2, H, W, C, seed=13)
+        boxes = np.array([[8.0, 6.0, 40.0, 52.0], [0.0, 0.0, 64.0, 64.0]],
+                         np.float32)
+        out = np.asarray(roi_align(jnp.asarray(img), jnp.asarray(boxes),
+                                   output_size=os_, spatial_scale=scale,
+                                   sampling_ratio=sr))
+
+        def bil(im, x, y):  # zero padding
+            x0, y0 = int(np.floor(x)), int(np.floor(y))
+            acc = np.zeros(C, np.float32)
+            for (xi, yi, w) in [(x0, y0, (1 - (x - x0)) * (1 - (y - y0))),
+                                (x0 + 1, y0, (x - x0) * (1 - (y - y0))),
+                                (x0, y0 + 1, (1 - (x - x0)) * (y - y0)),
+                                (x0 + 1, y0 + 1, (x - x0) * (y - y0))]:
+                if 0 <= xi < W and 0 <= yi < H:
+                    acc += w * im[yi, xi]
+            return acc
+
+        for b in range(2):
+            x1, y1, x2, y2 = boxes[b] * scale
+            rw, rh = max(x2 - x1, 1.0), max(y2 - y1, 1.0)
+            for ty in range(os_):
+                for tx in range(os_):
+                    acc = np.zeros(C, np.float32)
+                    for iy in range(sr):
+                        for ix in range(sr):
+                            sy = y1 + (ty + (iy + 0.5) / sr) * rh / os_
+                            sx = x1 + (tx + (ix + 0.5) / sr) * rw / os_
+                            acc += bil(img[b], sx, sy)
+                    np.testing.assert_allclose(
+                        out[b, ty, tx], acc / (sr * sr), atol=2e-5)
+
+
     def test_constant_image(self):
         img = jnp.full((1, 32, 32, 2), 5.0)
         boxes = jnp.array([[8.0, 8.0, 88.0, 88.0]])  # scaled by 1/4 -> [2,22]

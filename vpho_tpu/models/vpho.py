@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from ..diffusion.sampler import ode_sampler, score_matching_loss
 from ..diffusion.sde import SDE, init_sde
-from ..ops.image import grid_sample, resize_bilinear, roi_align
+from ..ops.image import resample_rectilinear, resize_bilinear, roi_align
 from ..utils import transforms as T
 from ..utils.hand import get_joint_aligned_with_ho3d
 from . import aggregation as agg
@@ -146,13 +146,15 @@ class VPHONet(nn.Module):
         """
         B = hm.shape[0]
         S = self.heatmap_size
-        coords = (jnp.arange(S) / (S - 1)) * 2.0 - 1.0
-        gy, gx = jnp.meshgrid(coords, coords, indexing="ij")     # (S, S)
+        coords = (jnp.arange(S, dtype=hm.dtype) / (S - 1)) * 2.0 - 1.0
         rel = (bbox_rect[:, 2:] - bbox_rect[:, :2]) / (bbox[:, 2:] - bbox[:, :2])
-        gx = gx[None] * rel[:, 0, None, None]
-        gy = gy[None] * rel[:, 1, None, None]
-        grid = jnp.stack([gx, gy], axis=-1)                      # (B, S, S, 2)
-        return grid_sample(hm, grid, mode="bilinear", align_corners=False)
+        # the grid is rectilinear (rows share y, columns share x), so the
+        # resample factorizes into two dense tent contractions — no gathers
+        gx = coords[None] * rel[:, 0, None]                      # (B, S)
+        gy = coords[None] * rel[:, 1, None]
+        xs = ((gx + 1.0) * S - 1.0) / 2.0                        # align_corners=False
+        ys = ((gy + 1.0) * S - 1.0) / 2.0
+        return resample_rectilinear(hm, xs, ys)
 
     def trunk(self, data: Dict[str, Array], train: bool = False) -> Dict[str, Array]:
         """Shared visual trunk (VPHO.py:112-172).
