@@ -129,6 +129,12 @@ class BankMLPHead(nn.Module):
         """t_feat: (Bt, 128) with Bt in {1, B} (broadcasts over hypotheses);
         pose_feat: (B, 256); provide either the raw ``feat`` (full recompute)
         or a precomputed ``feat_proj`` (B, num, hidden)."""
+        # NOTE(r2): a fused Pallas bank-MLP kernel (layer1+ReLU+layer2 with
+        # the hidden tile kept in VMEM) was built and measured against this
+        # einsum path inside a 100-step scan at the blessed shapes: einsum
+        # f32 0.597 ms/eval vs pallas f32 0.772 / best-tuned bf16 0.593 —
+        # XLA's batched-GEMM lowering wins (docs/PERF.md has the full
+        # sweep), so the kernel was dropped and this stays einsum.
         w_t = self.kernel1[:, :T_DIM]
         w_p = self.kernel1[:, T_DIM:TP_DIM]
         t_feat, pose_feat, w_t, w_p, b1 = self._cast(
