@@ -81,11 +81,21 @@ def batched_min_dist(x: Array, y: Array) -> Array:
 def nearest_points(x: Array, y: Array) -> Array:
     """For each x, the nearest point in y: x (..., n, 3), y (..., m, 3) ->
     (..., n, 3).  (nn_for_r_memory_save, aggregation.py:1128-1158)."""
+    return min_dist_and_nearest(x, y)[1]
+
+
+def min_dist_and_nearest(x: Array, y: Array) -> tuple[Array, Array]:
+    """One d2 matrix, both reductions: (min distance (..., n), nearest
+    point (..., n, 3)).  Callers needing both (the physics3 ranker) avoid
+    materializing the (B, N, 32, 2048) distance tensor twice."""
     x2 = jnp.sum(x * x, axis=-1)[..., :, None]
     y2 = jnp.sum(y * y, axis=-1)[..., None, :]
     xy = jnp.einsum("...nd,...md->...nm", x, y)
-    idx = jnp.argmin(x2 + y2 - 2.0 * xy, axis=-1)               # (..., n)
-    return jnp.take_along_axis(y, idx[..., None].repeat(3, -1), axis=-2)
+    d2 = x2 + y2 - 2.0 * xy
+    dist = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))
+    idx = jnp.argmin(d2, axis=-1)                                # (..., n)
+    near = jnp.take_along_axis(y, idx[..., None].repeat(3, -1), axis=-2)
+    return dist, near
 
 
 def take_candidates(x: Array, idx: Array) -> Array:
@@ -353,11 +363,12 @@ def obj_topk_by_physics3(
     fweight = fnorm / (fnorm.sum(-1, keepdims=True) + 1e-12)
 
     fp = force_point[:, None]                                    # (B, 1, 32, 3)
-    dist = batched_min_dist(fp, obj_verts)                       # (B, N, 32)
+    dist, r = min_dist_and_nearest(
+        jnp.broadcast_to(fp, obj_verts.shape[:2] + (32, 3)), obj_verts
+    )                                                            # (B, N, 32), (B, N, 32, 3)
     score = (dist * fweight[:, None]).sum(-1)                    # (B, N)
 
     fdir = force_global / (fnorm[..., None] + 1e-12)
-    r = nearest_points(jnp.broadcast_to(fp, obj_verts.shape[:2] + (32, 3)), obj_verts)
     r = r - obj_com                                              # (B, N, 32, 3)
     L = jnp.linalg.norm(jnp.cross(fdir[:, None], r).sum(-2), axis=-1)  # (B, N)
     score = -(score * L)
