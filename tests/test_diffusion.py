@@ -201,3 +201,24 @@ class TestDenoiserFastPath:
             np.testing.assert_allclose(np.asarray(full), np.asarray(fast),
                                        atol=1e-5)
             assert full.shape == (4, dim)
+
+    def test_proj_broadcast_over_hypotheses_matches_repeat(self):
+        """Passing per-SAMPLE feat_proj (B, n, H) with B*S poses must equal
+        the explicit sample-major repeat (the ODE-loop HBM optimization)."""
+        from vpho_tpu.models.denoiser import Denoiser
+
+        B, S, dim = 3, 4, 96
+        m = Denoiser(head="mano_pose")
+        feat = jax.random.normal(jax.random.PRNGKey(0), (B, 1024))
+        x = jax.random.normal(jax.random.PRNGKey(1), (B * S, dim))
+        t = jnp.full((1, 1), 0.4)
+        std = jnp.ones((B * S, 1))
+        variables = m.init({"params": jax.random.PRNGKey(2)}, feat,
+                           x[:B], jnp.full((B, 1), 0.4), jnp.ones((B, 1)))
+        proj = m.apply(variables, feat, method=Denoiser.precompute_feat)
+
+        bcast = m.apply(variables, proj, x, t, std,
+                        method=Denoiser.score_from_proj)
+        rep = m.apply(variables, jnp.repeat(proj, S, axis=0), x, t, std,
+                      method=Denoiser.score_from_proj)
+        np.testing.assert_allclose(np.asarray(bcast), np.asarray(rep), atol=1e-6)

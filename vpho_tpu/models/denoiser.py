@@ -144,6 +144,15 @@ class BankMLPHead(nn.Module):
         if feat_proj is None:
             assert feat is not None
             h = h + self.precompute_feat(feat)
+        elif feat_proj.shape[0] != h.shape[0]:
+            # ODE loop: feat_proj is per-SAMPLE (B, n, H) while the poses
+            # carry B*S hypotheses (sample-major repeat).  Broadcasting here
+            # instead of pre-repeating saves reading the repeated 210 MB
+            # conditioning tensor from HBM at every score evaluation.
+            S = h.shape[0] // feat_proj.shape[0]
+            assert S * feat_proj.shape[0] == h.shape[0], (h.shape, feat_proj.shape)
+            h = (h.reshape(feat_proj.shape[0], S, *h.shape[1:])
+                 + feat_proj[:, None].astype(h.dtype)).reshape(h.shape)
         else:
             h = h + feat_proj.astype(h.dtype)
         h = nn.relu(h)

@@ -275,8 +275,11 @@ def _score_fn(model: VPHONet, variables, sde: SDE, which: str, feat: Array,
     """
     pre = VPHONet.precompute_hand_feat if which == "hand" else VPHONet.precompute_obj_feat
     dn = VPHONet.denoise_hand_from_proj if which == "hand" else VPHONet.denoise_obj_from_proj
-    feat_proj = model.apply(variables, feat, method=pre)         # (B, num, 256)
-    feat_proj = jnp.repeat(feat_proj, sample_num, axis=0)        # (B*S, num, 256)
+    # (B, num, 256) — NOT repeated over sample_num: the bank broadcasts it
+    # over each sample's S hypotheses (sample-major layout), so every score
+    # evaluation reads B rows of conditioning instead of B*S
+    feat_proj = model.apply(variables, feat, method=pre)
+    del sample_num  # layout handled inside the bank head
 
     def fn(x, t):
         _, std = sde.marginal_prob(x, t)
