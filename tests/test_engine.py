@@ -132,6 +132,33 @@ class TestRunnerSmoke:
         files = [f for f in os.listdir(trainer.save_dir) if f.startswith("my-prediction")]
         assert files, os.listdir(trainer.save_dir)
 
+    def test_collector_rows_carry_index_and_path(self, tmp_path, cfg, ctx):
+        """The dumped rows must carry the reference's index/path columns
+        (train_diff_hand_obj.py:443-444) when the eval dataset exposes
+        get_path — the r2 review found path_of was never wired."""
+        import dataclasses
+
+        from vpho_tpu.engine.runner import synthetic_stream
+
+        c = dataclasses.replace(cfg, mode="eval", output_dir=str(tmp_path),
+                                eval_batch_size=4, batch_size=4)
+        trainer = Trainer(c)
+
+        class _DS:
+            def get_path(self, i):
+                return f"rgb/{i:06d}.jpg"
+
+        trainer.eval_dataset = _DS()
+        first = next(synthetic_stream(trainer.ctx, c, 1, 4))
+        trainer.init_state(first, steps_per_epoch=2)
+        out = trainer.evaluate(synthetic_stream(trainer.ctx, c, 2, 4, seed=7,
+                                                with_eval_keys=True))
+        rows = out["collector_res"]
+        assert rows and all("index" in r and "path" in r for r in rows)
+        assert rows[0]["path"][0] == f"rgb/{int(rows[0]['index'][0]):06d}.jpg"
+        # no padding row leaked into the dump
+        assert all((np.asarray(r["index"]) >= 0).all() for r in rows)
+
 
 class TestEvalPathRescore:
     def test_rescore_dump(self, tmp_path, ctx):

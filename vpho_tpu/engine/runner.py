@@ -93,6 +93,9 @@ def run(cfg: Config):
 
         train_ds = DexYCBForceDataset(cfg, cfg.data_dir, is_train=True)
         test_ds = DexYCBForceDataset(cfg, cfg.data_dir, is_train=False)
+        # evaluate() resolves the collector's 'path' column through
+        # eval_dataset.get_path (pkl parity, train_diff_hand_obj.py:443-444)
+        trainer.dataset, trainer.eval_dataset = train_ds, test_ds
         steps_per_epoch = len(train_ds) // cfg.batch_size
         first = next(make_loader(train_ds, cfg.batch_size, shuffle=False, num_batches=1))
         get_train = lambda ep: make_loader(train_ds, cfg.batch_size, shuffle=True, seed=ep)

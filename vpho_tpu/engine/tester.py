@@ -36,27 +36,27 @@ class TesterHand:
                                 jnp.asarray(gt_vert), jnp.asarray(pd_vert))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["is_right"] = np.asarray(is_right)
-        if valid is not None:
-            out = {k: v[np.asarray(valid)] for k, v in out.items()}
+        # keep the mask as a COLUMN (filtered in result()): rows stay
+        # fixed-shape so the multi-host allgather can stack them
+        n = out["is_right"].shape[0]
+        out["_valid"] = (np.ones(n, bool) if valid is None
+                         else np.asarray(valid, bool))
         self._rows.append(out)
-
 
     def gather_rows(self):
         """Multi-host metric gather: pool per-process host rows before
         reporting — the gather_for_metrics(use_gather_object=True)
         equivalent (train_diff_hand_obj.py:333-335).  Single-process no-op."""
-        from ..parallel.mesh import process_allgather
+        from ..parallel.mesh import allgather_rows
 
-        import jax as _jax
-        if _jax.process_count() == 1:
-            return
-        gathered = process_allgather(self._rows)
-        self._rows = [r for rows in gathered for r in rows]
+        self._rows = allgather_rows(self._rows)
 
     def result(self) -> Dict[str, Dict[str, float]]:
         if not self._rows:
             return {}
         cat = {k: np.concatenate([r[k] for r in self._rows]) for k in self._rows[0]}
+        keep = cat.pop("_valid").astype(bool)
+        cat = {k: v[keep] for k, v in cat.items()}
         is_right = cat.pop("is_right").astype(bool)
         res: Dict[str, Dict[str, float]] = {}
         splits = {"right": is_right, "left": ~is_right,
@@ -92,27 +92,25 @@ class TesterObject:
                                 jnp.asarray(obj_ids), jnp.asarray(cam_intr))
         out = {k: np.asarray(v) for k, v in out.items()}
         out["obj_id"] = np.asarray(obj_ids)
-        if valid is not None:
-            out = {k: v[np.asarray(valid)] for k, v in out.items()}
+        n = out["obj_id"].shape[0]
+        out["_valid"] = (np.ones(n, bool) if valid is None
+                         else np.asarray(valid, bool))
         self._rows.append(out)
-
 
     def gather_rows(self):
         """Multi-host metric gather: pool per-process host rows before
         reporting — the gather_for_metrics(use_gather_object=True)
         equivalent (train_diff_hand_obj.py:333-335).  Single-process no-op."""
-        from ..parallel.mesh import process_allgather
+        from ..parallel.mesh import allgather_rows
 
-        import jax as _jax
-        if _jax.process_count() == 1:
-            return
-        gathered = process_allgather(self._rows)
-        self._rows = [r for rows in gathered for r in rows]
+        self._rows = allgather_rows(self._rows)
 
     def result(self) -> Dict[str, Dict[str, float]]:
         if not self._rows:
             return {}
         cat = {k: np.concatenate([r[k] for r in self._rows]) for k in self._rows[0]}
+        keep = cat.pop("_valid").astype(bool)
+        cat = {k: v[keep] for k, v in cat.items()}
         obj_id = cat.pop("obj_id")
         names = self.registry.names
         res: Dict[str, Dict[str, float]] = {}

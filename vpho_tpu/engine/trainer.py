@@ -389,34 +389,51 @@ class Trainer:
             pd_rt_one = postprocess_obj_rt(pd["diff_final_obj_6d"][:, 0], root)
             pd_rt_agg = postprocess_obj_rt(pd["agg_obj_6d"], root)
 
-            gt_joint = jbatch["gt_joint"]
-            gt_vert = jbatch["gt_hand_vert"]
-            testers_hand["regression"].add_batch(
-                gt_joint, pd_joint_reg, gt_vert, pd_vert_reg, is_right, valid)
-            testers_hand["one_candidate"].add_batch(
-                gt_joint, pd_joint_one, gt_vert, pd_vert_one, is_right, valid)
-            testers_hand["agg_candidate"].add_batch(
-                gt_joint, pd_joint_agg, gt_vert, pd_vert_agg, is_right, valid)
-            testers_obj["one_candidate"].add_batch(
-                pd_rt_one, jbatch["gt_obj_rt"], jbatch["obj_id"], jbatch["cam_intr"], valid)
-            testers_obj["mean_candidate_pose"].add_batch(
-                pd_rt_agg, jbatch["gt_obj_rt"], jbatch["obj_id"], jbatch["cam_intr"], valid)
+            # multi-host: every host feeds the same global batch, so each
+            # process extracts only the rows IT owns before scoring — no
+            # sample is counted process_count times and no non-addressable
+            # array is fetched (single host: identity).
+            from ..parallel.mesh import host_local_indices, host_local_rows as L
 
-            keep = (np.asarray(valid) if valid is not None
-                    else np.ones((pd_rt_agg.shape[0],), bool))
-            row = {
-                "pd_obj_rt": np.asarray(pd_rt_agg)[keep],
-                "pd_hand_vert": np.asarray(pd_vert_agg).astype(np.float16)[keep],
-                "pd_hand_joint": np.asarray(pd_joint_agg)[keep],
-                "gt_obj_rt": np.asarray(jbatch["gt_obj_rt"])[keep],
-                "obj_id": np.asarray(jbatch["obj_id"])[keep],
-            }
-            if index is not None:
-                idx_host = np.asarray(index)[keep]
-                row["index"] = idx_host
-                if path_of is not None:
-                    row["path"] = [path_of(int(j)) for j in idx_host]
-            collector_res.append(row)
+            n_rows = int(pd_rt_agg.shape[0])
+            own = host_local_indices(pd_rt_agg, n_rows)
+            valid_own = (np.asarray(valid)[own] if valid is not None
+                         else np.ones(own.shape[0], bool))
+            index_own = (np.asarray(index)[own] if index is not None
+                         else np.full(own.shape[0], -1))
+
+            gt_joint = L(jbatch["gt_joint"])
+            gt_vert = L(jbatch["gt_hand_vert"])
+            is_right_l = L(is_right)
+            gt_rt_l = L(jbatch["gt_obj_rt"])
+            obj_id_l = L(jbatch["obj_id"])
+            cam_l = L(jbatch["cam_intr"])
+            pd_vert_agg_l = L(pd_vert_agg)
+            pd_joint_agg_l = L(pd_joint_agg)
+            pd_rt_agg_l = L(pd_rt_agg)
+            testers_hand["regression"].add_batch(
+                gt_joint, L(pd_joint_reg), gt_vert, L(pd_vert_reg), is_right_l, valid_own)
+            testers_hand["one_candidate"].add_batch(
+                gt_joint, L(pd_joint_one), gt_vert, L(pd_vert_one), is_right_l, valid_own)
+            testers_hand["agg_candidate"].add_batch(
+                gt_joint, pd_joint_agg_l, gt_vert, pd_vert_agg_l, is_right_l, valid_own)
+            testers_obj["one_candidate"].add_batch(
+                L(pd_rt_one), gt_rt_l, obj_id_l, cam_l, valid_own)
+            testers_obj["mean_candidate_pose"].add_batch(
+                pd_rt_agg_l, gt_rt_l, obj_id_l, cam_l, valid_own)
+
+            # collector rows stay UNFILTERED (+_valid/_index columns) so the
+            # multi-host gather sees equal shapes; filtered + path-attached
+            # after the gather below
+            collector_res.append({
+                "pd_obj_rt": pd_rt_agg_l,
+                "pd_hand_vert": pd_vert_agg_l.astype(np.float16),
+                "pd_hand_joint": pd_joint_agg_l,
+                "gt_obj_rt": gt_rt_l,
+                "obj_id": obj_id_l,
+                "_valid": valid_own,
+                "_index": index_own,
+            })
 
             if self.cfg.viz_freq > 0 and i % self.cfg.viz_freq == 0:
                 # Batch3D pkl dumps (train_diff_hand_obj.py:272-329)
@@ -457,13 +474,21 @@ class Trainer:
                         if "hm_obj" in jbatch else np.asarray(pd["obj_heatmap"][0]))
                     from ..models import anchor as anchor_lib
 
+                    # anchor frames are defined on the FLIPPED (right-hand)
+                    # mesh — the frame every other force_local_to_global
+                    # call uses (forward_train, hoi_aggregate); feeding the
+                    # unflipped camera-frame verts would mirror the anchors
+                    # for left hands (reference computes on flipped verts
+                    # too and unflips afterwards, :741-760)
+                    vert_flip0 = (pd["agg_hand_vert"][:1]
+                                  + jbatch["root_joint_flip"][:1, None])
                     fp, fg = anchor_lib.force_local_to_global(
                         self.ctx.anchor_tables, pd["force_local"][:1],
-                        pd_vert_agg[:1])
+                        vert_flip0)
                     rt_np = np.asarray(pd_rt_agg[0])
                     viz.save_viz_force(
                         self.save_dir, i,
-                        vert=np.asarray(pd_vert_agg[0]),
+                        vert=np.asarray(vert_flip0[0]),
                         force_point=np.asarray(fp[0]),
                         force_global=np.asarray(fg[0]),
                         gravity=np.asarray(jbatch["gravity"][0]),
@@ -475,13 +500,24 @@ class Trainer:
 
         # multi-host: pool every process's rows before reporting
         # (gather_for_metrics equivalent); single-process no-op
+        from ..parallel.mesh import allgather_rows
+
         for t in list(testers_hand.values()) + list(testers_obj.values()):
             t.gather_rows()
-        if jax.process_count() > 1:
-            from ..parallel.mesh import process_allgather
-
-            collector_res = [r for rows in process_allgather(collector_res)
-                             for r in rows]
+        collector_res = allgather_rows(collector_res)
+        # filter padding + attach paths AFTER the gather (string paths
+        # cannot cross hosts; they reconstruct from the _index column)
+        filtered = []
+        for r in collector_res:
+            keep = np.asarray(r.pop("_valid"), bool)
+            idx = np.asarray(r.pop("_index"))[keep]
+            row = {k: np.asarray(v)[keep] for k, v in r.items()}
+            if (idx >= 0).all():
+                row["index"] = idx
+                if path_of is not None:
+                    row["path"] = [path_of(int(j)) for j in idx]
+            filtered.append(row)
+        collector_res = filtered
         report = {
             "hand": {k: t.report_mm() for k, t in testers_hand.items()},
             "object": {k: t.report() for k, t in testers_obj.items()},

@@ -675,8 +675,11 @@ def obj_heatmap_cascade(
 
     p_trans2 = pose6d.at[..., :6].set(fused_rot1[:, None])
     topk_t2, _ = obj_topk_by_heatmap(pose6d=p_trans2, k=k, **common)
-    p_rot2 = pose6d.at[..., 6:].set(fused_trans1[:, None])
-    topk_r2, _ = obj_topk_by_heatmap(pose6d=p_rot2, k=k, **common)
+    # the reference's rot2 stage scores ori-rotations with trans=fused_trans1
+    # (:685-688) — a tensor byte-identical to the rot1 stage's, so its
+    # selection is the rot1 selection; reuse it instead of re-running the
+    # full FK + projection + heat-sampling pass over all N candidates
+    p_rot2, topk_r2 = p_rot1, topk
 
     if force_selection:
         assert force_point is not None and is_grasped is not None
@@ -692,6 +695,8 @@ def obj_heatmap_cascade(
         new_topk = jnp.where(grasped, topk_p, topk_h)
         fused = obj_fuse_topk(cand, new_topk)            # unweighted (ref :706)
     else:
+        # both final fuses are UNWEIGHTED regardless of is_weight, exactly
+        # as the reference (:708-710 passes no weight to fuse_topk)
         t2 = obj_fuse_topk(p_trans2, topk_t2)[:, 6:]
         r2 = obj_fuse_topk(p_rot2, topk_r2)[:, :6]
         fused = jnp.concatenate([r2, t2], axis=-1)

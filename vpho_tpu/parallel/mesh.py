@@ -31,28 +31,82 @@ def init_distributed(coordinator_address: str | None = None,
     explicitly.  No-op when already initialized or when single-process.
     Returns the process index.
     """
-    if jax.process_count() > 1:
+    # NOTE: do NOT touch jax.process_count()/devices() before initialize() —
+    # any backend query instantiates the local backend, after which
+    # initialize() always raises (and multi-host setup silently never
+    # happens; caught in r2 code review)
+    if jax.distributed.is_initialized():
         return jax.process_index()
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
     except (ValueError, RuntimeError):
-        # single-process (no coordinator found): fine — SPMD still works
-        # across the local devices
-        pass
+        if coordinator_address is not None or (num_processes or 1) > 1:
+            # the caller explicitly asked for multi-process: failing to
+            # bring it up must be loud, not a silent N-way duplicated run
+            raise
+        # no coordinator configured/discoverable -> single-process; fine,
+        # SPMD still works across the local devices
     return jax.process_index()
 
 
-def process_allgather(obj):
-    """Host-side all-gather of arbitrary pytrees across processes — the
-    ``gather_for_metrics(use_gather_object=True)`` replacement
-    (train_diff_hand_obj.py:333-335).  Single-process: identity list."""
+def allgather_rows(rows):
+    """Pool per-process lists of ``{str: np.ndarray}`` rows across hosts —
+    the ``gather_for_metrics(use_gather_object=True)`` replacement
+    (train_diff_hand_obj.py:333-335).  Single-process: identity.
+
+    ``multihost_utils.process_allgather`` returns the SAME pytree with each
+    array leaf stacked on a new leading process axis (not a per-process
+    list), so the stacked leaves are split back into one row per process
+    here.  Requires equal leaf shapes across processes (eval rows satisfy
+    this: every process scores its equal-size batch slice, padding masked
+    by a ``_valid`` column rather than filtered).  Non-array values cannot
+    cross hosts and are dropped — reconstruct them from an index column.
+    """
     if jax.process_count() == 1:
-        return [obj]
+        return rows
     from jax.experimental import multihost_utils
 
-    return list(multihost_utils.process_allgather(obj, tiled=False))
+    out = []
+    for r in rows:
+        arrays = {}
+        for k, v in r.items():
+            a = np.asarray(v)
+            if a.dtype.kind in "biufc":  # numeric/bool leaves only
+                arrays[k] = a
+        stacked = multihost_utils.process_allgather(arrays, tiled=False)
+        for p in range(jax.process_count()):
+            out.append({k: v[p] for k, v in stacked.items()})
+    return out
+
+
+def host_local_rows(x):
+    """This process's rows of a batch-sharded array, as host numpy.
+
+    Under multi-host SPMD a jitted output spans non-addressable devices and
+    ``np.asarray`` on it raises; each process must extract only the rows it
+    owns (also preventing every sample being scored process_count times).
+    Fully-addressable arrays (single host) return all rows unchanged.
+    """
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def host_local_indices(x, n: int) -> np.ndarray:
+    """Global row indices this process owns in a batch-sharded array of
+    leading size ``n`` (for slicing host-side columns like _valid/_index
+    consistently with :func:`host_local_rows`)."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.arange(n)
+    parts = []
+    for s in sorted(x.addressable_shards, key=lambda s: s.index[0].start or 0):
+        sl = s.index[0]
+        parts.append(np.arange(sl.start or 0, sl.stop if sl.stop is not None else n))
+    return np.concatenate(parts)
 
 
 def sync_processes(name: str = "barrier"):
