@@ -91,6 +91,10 @@ class Config:
     heatmap_hand_sigma: float = 2.0
     heatmap_obj_sigma: float = 2.0
     roi_size: int = 32
+    # contact labeling band (args.py:44-45; Config-only fields, no CLI flag
+    # in the reference either)
+    contact_normal_distance_thresh: tuple = (-0.01, 0.01)
+    contact_vertical_distance_thresh: float = 0.005
     # loss weights (args.py:203-223)
     weight_diff_hand_loss: float = 1.0
     weight_diff_obj_loss: float = 1.0

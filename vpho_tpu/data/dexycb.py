@@ -350,15 +350,18 @@ class DexYCBForceDataset:
           nd = dot(hand_vert - nearest_obj_vert, hand_vertex_normal)
           mask: lo < nd < hi AND tangential offset < 1 cm
           weight: 1/((1+e^{-1600(nd-mid1)})(1+e^{1600(nd-mid2)})), peak-normalized.
-        Remaining gap vs the reference (documented, DEVIATIONS.md D9): the
-        reference additionally renders object front/back depth (PyTorch3D,
-        base.py:472-500,632-688) to resolve through-object sign for occluded
-        vertices; we use the sampled-point NN + hand normals instead."""
-        verts = np.asarray(self.registry.verts_sampled[obj_id])
+        The reference's LIVE path is get_hand_contact (base.py:841-911, called
+        at dexycb6.py:320) — NN against the FULL object mesh verts, normal +
+        vertical distance thresholds from cfg, no depth rendering (the
+        front/back render cache feeds only get_hand_and_object_contact, whose
+        per-pixel maps the live dataset never consumes)."""
+        verts = np.asarray(self.registry.verts_full[obj_id])
         obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
         faces = (self.mano_r if is_right else self.mano_l).faces
         lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
-        return signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi)
+        vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
+        return signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi,
+                                      tangential_thresh=vthresh)
 
     def __len__(self):
         return len(self.index_ls)

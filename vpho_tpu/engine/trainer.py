@@ -34,6 +34,7 @@ from flax import struct
 from flax.training import train_state
 
 from ..configs.config import Config
+from ..data.prefetch import prefetch
 from ..models import vpho as V
 from ..models.vpho import VPHONet, forward_predict, forward_train
 from ..parallel.mesh import make_mesh, pad_batch_to, replicate, shard_batch
@@ -306,14 +307,19 @@ class Trainer:
         rng = jax.random.PRNGKey(1000 + epoch)
         t0 = time.time()
         last = {}
-        for i, batch in enumerate(batches):
+
+        def stage(batch):
             n = next(iter(batch.values())).shape[0]
             if n % self.mesh.size:
                 raise ValueError(
                     f"train batch size {n} must be divisible by the "
                     f"{self.mesh.size}-device mesh (set --batch_size or "
                     f"--num_devices accordingly)")
-            batch = shard_batch(batch, self.mesh)
+            return shard_batch(batch, self.mesh)
+
+        # double-buffered input: batch i+1 is assembled + device_put while
+        # step i runs (DataLoader-workers/pin_memory equivalent)
+        for i, batch in enumerate(prefetch(batches, stage)):
             self.state, loss_dt = self._train_step(self.state, batch, rng)
             last = loss_dt
             if i % max(self.cfg.print_freq, 1) == 0:
@@ -346,7 +352,8 @@ class Trainer:
         testers_obj = {k: TesterObject(self.ctx.registry)
                        for k in ("one_candidate", "mean_candidate_pose")}
         collector_res = []
-        for i, batch in enumerate(batches):
+
+        def stage(batch):
             valid = batch.pop("_valid", None)
             index = batch.pop("_index", None)
             # eval batches must divide the mesh; pad + mask (lossless)
@@ -360,7 +367,9 @@ class Trainer:
                 if index is not None:
                     index = np.concatenate(
                         [np.asarray(index), np.full(target - n, -1)])
-            jbatch = shard_batch(batch, self.mesh)
+            return shard_batch(batch, self.mesh), valid, index
+
+        for i, (jbatch, valid, index) in enumerate(prefetch(batches, stage)):
             if i == 0:
                 # FLOPs/params at eval batch 0 (train_diff_hand_obj.py:220-221)
                 try:
