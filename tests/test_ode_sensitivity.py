@@ -10,7 +10,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vpho_tpu.diffusion.sampler import ode_sampler
+from vpho_tpu.diffusion.sampler import ode_sampler, time_grid
 from vpho_tpu.diffusion.sde import init_sde
 
 
@@ -45,6 +45,30 @@ class TestStepSensitivity:
         assert heun_vs_rk4 < 2e-2, heun_vs_rk4
         # euler is visibly worse — the ordering must hold
         assert heun_vs_rk4 < euler_vs_rk4
+
+    def test_karras_grid_shape_and_fidelity(self, setup):
+        """The karras schedule option: correct endpoints/monotonicity, and
+        integration accuracy on par with uniform at the blessed budget.
+        (Studied and NOT promoted as default: for the VE SDE uniform-t is
+        already geometric in sigma — docs/PERF.md r3.)"""
+        sde, mu, score = setup
+        ts = np.asarray(time_grid(sde, 0.65, 50, "karras"))
+        assert ts.shape == (50,)
+        np.testing.assert_allclose(ts[0], 0.65, atol=1e-6)
+        assert ts[-1] <= sde.eps + 1e-6
+        assert np.all(np.diff(ts) < 0), "grid must decrease T0 -> eps"
+
+        key = jax.random.PRNGKey(2)
+        _, xu = ode_sampler(score, key, 64, 4, sde, 0.65, 50, method="heun",
+                            denoise=False)
+        _, xk = ode_sampler(score, key, 64, 4, sde, 0.65, 50, method="heun",
+                            denoise=False, schedule="karras")
+        _, xt = ode_sampler(score, key, 64, 4, sde, 0.65, 800, method="rk4",
+                            denoise=False)
+        err_u = np.abs(np.asarray(xu) - np.asarray(xt)).max()
+        err_k = np.abs(np.asarray(xk) - np.asarray(xt)).max()
+        assert err_k < 5e-3, err_k
+        assert err_k < 3 * max(err_u, 1e-4), (err_k, err_u)
 
     def test_rk4_50_steps_close_to_rk4_200_steps(self, setup):
         """50 fixed steps are already within integration tolerance of a 4x

@@ -188,3 +188,69 @@ class TestRTCompose:
         back = T.obj_mat_to_9d(rt)
         rt2 = T.obj_9d_to_mat(back)
         np.testing.assert_allclose(np.asarray(rt), np.asarray(rt2), atol=1e-5)
+
+
+class TestSingularGradients:
+    """NaN-safe gradients at rotation-conversion singularities.
+
+    Found during r3 convergence training: near-identity f32 rotation
+    matrices cancel exactly in (m21-m12, ...), giving an exactly-zero
+    quaternion imaginary part whose norm has a NaN gradient; reverse-mode
+    0-cotangent x inf-local-grad then poisons EVERY co-computed loss
+    through the shared trunk (train diverged to NaN at step ~8).
+    """
+
+    def test_matrix_to_axis_angle_grad_finite_at_identity(self):
+        def f(m):
+            return jnp.sum(T.matrix_to_axis_angle(m) ** 2)
+
+        g = jax.grad(f)(jnp.eye(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+        # near-identity with exactly symmetric off-diagonals (the observed
+        # failure shape) and an exact 180-degree rotation
+        m = jnp.diag(jnp.array([1.0, -1.0, -1.0]))
+        g = jax.grad(f)(m)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_6d_to_aa_pipeline_grad_finite(self):
+        ident6d = jnp.array([1.0, 0, 0, 0, 1.0, 0])
+
+        def f(d6):
+            return jnp.sum(T.matrix_to_axis_angle(T.rotation_6d_to_matrix(d6)))
+
+        g = jax.grad(f)(ident6d)
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_normalize_grad_finite_at_zero(self):
+        g = jax.grad(lambda v: jnp.sum(T.normalize(v) ** 2))(jnp.zeros(3))
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_safe_sqrt_values_and_grads(self):
+        x = jnp.array([-1.0, 0.0, 1e-12, 4.0])
+        np.testing.assert_allclose(np.asarray(T.safe_sqrt(x)),
+                                   np.sqrt(np.maximum(np.asarray(x), 0)))
+        g = jax.vmap(jax.grad(T.safe_sqrt))(x)
+        assert np.all(np.isfinite(np.asarray(g)))
+        np.testing.assert_allclose(float(g[3]), 0.25)
+
+    def test_physics_losses_grad_finite_at_balance(self):
+        """Zero resultant force / zero net torque is the OPTIMUM of the
+        balance losses — its gradient must be 0, not NaN."""
+        from vpho_tpu.models.heads import physics_losses
+
+        B = 2
+        gt_fp = jnp.zeros((B, 32, 3))
+        gt_com = jnp.zeros((B, 1, 3))
+        gravity = jnp.tile(jnp.array([0.0, 1.0, 0.0]), (B, 1, 1))
+
+        def f(pf):
+            # forces exactly cancel gravity -> resultant exactly 0
+            losses = physics_losses(gt_fp, pf, gt_com, jnp.zeros((B, 32, 3)),
+                                    jnp.zeros((B, 32, 3)), pf[..., :3] * 0,
+                                    gravity, jnp.ones((B,)))
+            return losses["force_loss"] + losses["torque_loss"]
+
+        pf = jnp.zeros((B, 32, 3)).at[:, 0, 1].set(-1.0)
+        g = jax.grad(f)(pf)
+        assert np.all(np.isfinite(np.asarray(g)))

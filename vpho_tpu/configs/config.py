@@ -131,6 +131,7 @@ class Config:
     use_regression_as_candidate: bool = True
     # TPU-build extras (not in the reference CLI)
     ode_method: str = "heun"  # promotion rationale: ModelConfig.ode_method
+    ode_schedule: str = "uniform"  # 'karras' available; study: docs/PERF.md r3
     compute_dtype: str = "float32"
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
@@ -152,6 +153,7 @@ class Config:
             topk_hand=self.topk_hand,
             topk_obj=self.topk_obj,
             ode_method=self.ode_method,
+            ode_schedule=self.ode_schedule,
             compute_dtype=self.compute_dtype,
             aggregation_mode_hand=self.aggregation_mode_hand,
             aggregation_mode_obj=self.aggregation_mode_obj,
@@ -271,6 +273,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-build extras
     p.add_argument("--ode_method", type=str, default="heun",
                    choices=["rk4", "heun", "euler"])
+    p.add_argument("--ode_schedule", type=str, default="uniform",
+                   choices=["uniform", "karras"])
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--num_devices", type=int, default=0)

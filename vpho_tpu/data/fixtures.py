@@ -43,18 +43,34 @@ _JIT_CACHE: dict = {}
 
 
 def make_batch(ctx, key: jax.Array, batch_size: int = 2, patch_size: int = 128,
-               heatmap_size: int = 64) -> Dict[str, jax.Array]:
+               heatmap_size: int = 64, signal: bool = False) -> Dict[str, jax.Array]:
     """Build one synthetic batch (jitted per shape — eager per-op dispatch is
-    pathologically slow on small hosts)."""
-    sig = (id(ctx.mano.v_template), batch_size, patch_size, heatmap_size)
+    pathologically slow on small hosts).
+
+    ``signal=True`` paints the projected hand joints / object keypoints into
+    the image as Gaussian blobs (hand in channel 0, object in channel 1) so
+    an image->pose mapping actually EXISTS: fresh-key batches then form a
+    learnable synthetic task for end-to-end convergence demos
+    (bench_convergence.py), not just a shape/contract fixture."""
+    sig = (id(ctx.mano.v_template), batch_size, patch_size, heatmap_size, signal)
     if sig not in _JIT_CACHE:
         _JIT_CACHE[sig] = jax.jit(
-            lambda k: _make_batch_impl(ctx, k, batch_size, patch_size, heatmap_size))
+            lambda k: _make_batch_impl(ctx, k, batch_size, patch_size,
+                                       heatmap_size, signal))
     return _JIT_CACHE[sig](key)
 
 
+def _paint_blobs(pt2d: jax.Array, size: int, sigma: float) -> jax.Array:
+    """Sum-of-Gaussians splat of (B, N, 2) points onto a (B, size, size) map,
+    evaluated as a separable outer product (no gathers)."""
+    ax = jnp.arange(size, dtype=jnp.float32)
+    gx = jnp.exp(-((ax[None, None] - pt2d[..., 0:1]) ** 2) / (2 * sigma**2))
+    gy = jnp.exp(-((ax[None, None] - pt2d[..., 1:2]) ** 2) / (2 * sigma**2))
+    return jnp.einsum("bny,bnx->byx", gy, gx)
+
+
 def _make_batch_impl(ctx, key: jax.Array, batch_size: int = 2, patch_size: int = 128,
-                     heatmap_size: int = 64) -> Dict[str, jax.Array]:
+                     heatmap_size: int = 64, signal: bool = False) -> Dict[str, jax.Array]:
     B = batch_size
     keys = jax.random.split(key, 10)
     mano: MANOModel = ctx.mano
@@ -97,6 +113,11 @@ def _make_batch_impl(ctx, key: jax.Array, batch_size: int = 2, patch_size: int =
     force_local = jax.random.normal(keys[7], (B, 32, 3)) * 0.1
 
     rgb = jax.random.normal(keys[8], (B, patch_size, patch_size, 3)) * 0.5
+    if signal:
+        sigma = patch_size / 64.0
+        hand_map = _paint_blobs(jt2d, patch_size, sigma)
+        obj_map = _paint_blobs(kpt2d, patch_size, sigma)
+        rgb = (rgb * 0.1).at[..., 0].add(2.0 * hand_map).at[..., 1].add(2.0 * obj_map)
 
     return {
         "rgb": rgb,

@@ -45,6 +45,31 @@ def _ode_rhs(score_fn: ScoreFn, sde: SDE, x: jax.Array, t: jax.Array) -> jax.Arr
     return drift_coeff * x - 0.5 * (diffusion**2) * score
 
 
+def time_grid(sde: SDE, T0: float, num_steps: int, schedule: str = "uniform",
+              rho: float = 7.0) -> jax.Array:
+    """Integration grid t_0=T0 > ... > t_{n-1}=eps.
+
+    'uniform': the reference's ``linspace(T0, eps, n)`` (t_eval grid,
+    score_based_model.py:88-91).  'karras': rho-spaced in sigma
+    (Karras et al. 2022 eq. 5) mapped back through the SDE's own
+    sigma(t) = marginal std — denser near low noise where the flow bends
+    most, so the same fidelity needs fewer fixed steps.  SDE-agnostic: the
+    sigma->t inverse is a dense-grid interpolation, computed at trace time.
+    """
+    if schedule == "uniform":
+        return jnp.linspace(T0, sde.eps, num_steps)
+    if schedule == "karras":
+        t_dense = jnp.linspace(sde.eps, T0, 1025)
+        s_dense = sde.marginal_prob(jnp.zeros_like(t_dense), t_dense)[1]
+        s_dense = jnp.reshape(s_dense, (-1,))
+        s_lo, s_hi = s_dense[0], s_dense[-1]
+        frac = jnp.linspace(0.0, 1.0, num_steps)
+        inv = 1.0 / rho
+        sig = (s_hi**inv + frac * (s_lo**inv - s_hi**inv)) ** rho
+        return jnp.interp(sig, s_dense, t_dense)
+    raise NotImplementedError(schedule)
+
+
 def ode_sampler(
     score_fn: ScoreFn,
     key: jax.Array,
@@ -57,12 +82,15 @@ def ode_sampler(
     init_x: jax.Array | None = None,
     denoise: bool = True,
     return_trajectory: bool = True,
+    schedule: str = "uniform",
 ) -> Tuple[jax.Array, jax.Array]:
     """Sample poses by integrating the reverse probability-flow ODE.
 
     Matches reference ``cond_ode_sampler`` semantics: integrate T0 -> sde.eps
     on ``linspace(T0, eps, num_steps)``; optional final reverse-diffusion
     predictor ("denoise") Euler step with dt = (1-eps)/num_steps (:95-104).
+    ``schedule='karras'`` swaps the grid spacing (see :func:`time_grid`);
+    the integrator itself is unchanged.
 
     Returns:
       trajectory: (B, num_steps, D) states at each grid point (x(T0) first),
@@ -72,7 +100,7 @@ def ode_sampler(
     prior = sde.prior(key, (batch_size, pose_dim), T=T0)
     x0 = prior if init_x is None else init_x + prior
 
-    ts = jnp.linspace(T0, sde.eps, num_steps)
+    ts = time_grid(sde, T0, num_steps, schedule)
 
     def step(x, i):
         t0, t1 = ts[i], ts[i + 1]

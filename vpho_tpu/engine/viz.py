@@ -92,6 +92,80 @@ def save_viz_force(save_dir: str, idx: int, *, vert, force_point, force_global,
     return _dump(save_dir, f"{idx}_optimized_force.pkl", dt)
 
 
+def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
+                        gt_rt, pd_rt, root_joint, root_joint_flip,
+                        gt_hand_vert, pd_hand_vert, hand_faces,
+                        gt_force_point, gt_force_global,
+                        pd_force_point, pd_force_global,
+                        gravity, com, K, is_right=True, rgb_path: str = ""):
+    """Full-mesh force dump (train_diff_hand_obj.py:775-856).
+
+    Reference parity notes: writes ``{idx}_force.pkl`` with ``gt_mesh`` /
+    ``pd_mesh`` / ``*_hand_mesh`` entries as ``{'vertex', 'face'}`` dicts,
+    force/gravity line segments, and the camera intrinsics ``K`` — the
+    camera-projectable variant of :func:`save_viz_force` (the reference
+    defines it but never calls it; rebuilt because it is the only writer
+    that carries mesh topology + intrinsics for render-based inspection).
+    ``save_viz_segmentation`` (:701-718) is NOT rebuilt: no model output
+    produces ``obj_segm`` and no dataset produces ``segm_obj`` anywhere in
+    the reference, so it is unreachable dead code.
+
+    All inputs are single-sample host arrays.  Verts are root-relative in
+    the flipped (right-hand) frame, as the aggregation emits them; the
+    reference un-flips x for left hands before dumping (:802-808) and adds
+    the flipped root back for camera-frame placement (:826-850).
+    """
+    obj_verts = np.asarray(obj_verts)
+    gt_rt = np.asarray(gt_rt)
+    pd_rt = np.asarray(pd_rt)
+    root = np.asarray(root_joint)
+    gt_obj_vert = obj_verts @ gt_rt[:3, :3].T + gt_rt[:3, 3] - root
+    pd_obj_vert = obj_verts @ pd_rt[:3, :3].T + pd_rt[:3, 3] - root
+    com = np.asarray(com)
+    gt_com = com @ gt_rt[:3, :3].T + gt_rt[:3, 3] - root
+    pd_com = com @ pd_rt[:3, :3].T + pd_rt[:3, 3] - root
+    gt_hand = np.array(gt_hand_vert, copy=True)
+    pd_hand = np.asarray(pd_hand_vert) - root
+    gravity = np.array(gravity, copy=True)
+
+    if not is_right:
+        for a in (gt_obj_vert, pd_obj_vert, pd_hand, gravity):
+            a[..., 0] = -a[..., 0]
+        gt_com = gt_com * np.array([-1.0, 1, 1])
+        pd_com = pd_com * np.array([-1.0, 1, 1])
+
+    gt_force = np.stack([np.asarray(gt_force_point),
+                         np.asarray(gt_force_point)
+                         + np.asarray(gt_force_global) * 0.1], axis=1)
+    pd_force = np.stack([np.asarray(pd_force_point),
+                         np.asarray(pd_force_point)
+                         + np.asarray(pd_force_global) * 0.1], axis=1)
+    gt_grav = np.stack([gt_com[None], gt_com[None] + gravity * 0.1], axis=1)
+    pd_grav = np.stack([pd_com[None], pd_com[None] + gravity * 0.1], axis=1)
+
+    rf = np.asarray(root_joint_flip)
+    dt = {
+        "gt_mesh": {"vertex": gt_obj_vert + rf, "face": np.asarray(obj_faces)},
+        "pd_mesh": {"vertex": pd_obj_vert + rf, "face": np.asarray(obj_faces)},
+        "gt_force_line_#00FF00": gt_force + rf,
+        "pd_force_line_#FF0000": pd_force + rf,
+        "gt_hand_mesh": {"vertex": gt_hand + rf, "face": np.asarray(hand_faces)},
+        "pd_hand_mesh": {"vertex": pd_hand + rf, "face": np.asarray(hand_faces)},
+        "gt_gravity_line_#00FF00": gt_grav + rf,
+        "pd_gravity_line_#FF0000": pd_grav + rf,
+        "K": np.asarray(K),
+    }
+    path = os.path.join(save_dir, "viz", f"{idx}_force.pkl")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(dt, f)
+    if rgb_path and os.path.exists(rgb_path):
+        import shutil
+
+        shutil.copy(rgb_path, os.path.join(save_dir, "viz", f"{idx}_rgb.jpg"))
+    return path
+
+
 def make_heatmap_overlay(rgb_crop: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
     """Grid of per-joint heatmap overlays (viz_fn.make_heatmaps analogue).
 

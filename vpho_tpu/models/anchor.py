@@ -96,7 +96,13 @@ def load_anchor_tables(mano_model, asset_path: str = "asset/2021_CVPR_CPF") -> F
 
 
 def _norm(v, eps=1e-8):
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + eps)
+    # safe_sqrt form: jnp.linalg.norm has a NaN gradient at the zero vector
+    # (degenerate anchor triangle / zero bone), which poisons co-computed
+    # gradients through shared layers even at zero cotangent
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    pos = sq > 0
+    n = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
+    return v / (n + eps)
 
 
 def anchor_points_and_frames(tables: ForceAnchorTables, verts: jax.Array):

@@ -189,7 +189,7 @@ def local_force_from_scale_weight(scale: jax.Array, weight: jax.Array,
     weight = jax.nn.softmax(weight, axis=-1)
     anchor = friction_anchor_dirs(8, friction_coeff)            # (8, 3)
     direction = jnp.einsum("...ij,jk->...ik", weight, anchor)
-    direction = direction / (jnp.linalg.norm(direction, axis=-1, keepdims=True) + 1e-8)
+    direction = T.normalize(direction)  # NaN-safe gradient at exact zero
     return direction * scale[..., None]
 
 
@@ -222,8 +222,8 @@ def physics_losses(gt_force_point, pd_force_global, gt_com, pd_com,
     """
     grasp = is_grasped.astype(pd_force_global.dtype)
     resultant = pd_force_global.sum(1, keepdims=True) + gt_gravity  # (B, 1, 3)
-    force_balance = jnp.linalg.norm(resultant, axis=-1)[:, 0] * grasp
-    force_loss = jnp.mean(force_balance**2)
+    # norm(x)**2 written as sum(x**2): norm's gradient is NaN at exactly 0
+    force_loss = jnp.mean(jnp.sum(resultant**2, axis=-1)[:, 0] * grasp**2)
 
     total = pd_force_global.sum(1, keepdims=True)
     cos_proj = jnp.einsum("...i,...i->...", total, gt_gravity)[:, 0]
@@ -232,8 +232,7 @@ def physics_losses(gt_force_point, pd_force_global, gt_com, pd_com,
 
     arm = gt_force_point - gt_com                                # (B, 32, 3)
     torque = jnp.cross(arm, pd_force_global).sum(1)
-    torque_balance = jnp.linalg.norm(torque, axis=-1) * grasp
-    torque_loss = jnp.mean(torque_balance**2)
+    torque_loss = jnp.mean(jnp.sum(torque**2, axis=-1) * grasp**2)
 
     supervised_loss = jnp.mean((pd_force_local - gt_force_local) ** 2)
     com_loss = jnp.mean((pd_com - jnp.broadcast_to(gt_com, pd_com.shape)) ** 2)

@@ -64,6 +64,10 @@ class ModelConfig:
     # (tests/test_torch_parity.py three-way study: heun err 0.036, rk4 err
     # 0.011, reference RK45 err 0.046).  --ode_method rk4 restores rk4.
     ode_method: str = "heun"
+    # grid spacing: 'uniform' (reference t_eval) or 'karras' (sigma-rho).
+    # Studied and NOT promoted: for the VE SDE uniform-t is already
+    # geometric in sigma, so karras buys nothing (docs/PERF.md r3)
+    ode_schedule: str = "uniform"
     compute_dtype: str = "float32"  # "bfloat16" for the bf16 trunk policy
     # aggregation CLI surface (args.py:233-246; the reference parses these but
     # its live path hardcodes the defaults — here they are live)
@@ -417,6 +421,7 @@ def forward_predict(
     traj, final = ode_sampler(
         score_both, rng, B * S, 96 + 9, ctx.sde, cfg.sample_T0, cfg.sampling_steps,
         method=cfg.ode_method, return_trajectory=return_trajectory,
+        schedule=cfg.ode_schedule,
     )
     final_h, final_o = final[:, :96], final[:, 96:]
     hand_mano = postprocess_diffusion_hand(final_h, out["pd_mano_shape"], S)

@@ -105,6 +105,23 @@ def load_obj_vertices(path: str) -> np.ndarray:
     return np.asarray(verts, np.float32)
 
 
+def load_obj_faces(path: str) -> np.ndarray:
+    """Triangle index parser for the same OBJ files (viz-only, host-side).
+
+    Handles the ``f v/vt/vn`` face syntax; fans polygons into triangles.
+    Returns (F, 3) int32, 0-based.  Used by the mesh-force visualization
+    (reference train_diff_hand_obj.py:781-782 pulls ``faces`` from
+    YCB_MESHES via trimesh)."""
+    faces = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("f "):
+                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+                for k in range(1, len(idx) - 1):
+                    faces.append((idx[0], idx[k], idx[k + 1]))
+    return np.asarray(faces, np.int32)
+
+
 def _registry_from_dicts(per_obj: list[dict], names: list[str]) -> YCBRegistry:
     vmax = max(d["verts"].shape[0] for d in per_obj)
     verts_full = np.zeros((len(per_obj), vmax, 3), np.float32)

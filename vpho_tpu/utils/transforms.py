@@ -27,9 +27,23 @@ _HI = lax.Precision.HIGHEST
 # ---------------------------------------------------------------------------
 
 
+def safe_sqrt(x: jax.Array) -> jax.Array:
+    """sqrt(max(x, 0)) with a ZERO subgradient at x <= 0 instead of inf/NaN.
+
+    jnp.sqrt'(0) = inf, and in reverse-mode a 0 cotangent times an inf local
+    gradient is NaN — which then poisons gradients of every co-computed
+    output through shared layers (0 * NaN contamination).  Values are
+    bit-identical to jnp.sqrt(jnp.maximum(x, 0)).
+    """
+    pos = x > 0
+    return jnp.where(pos, jnp.sqrt(jnp.where(pos, x, 1.0)), 0.0)
+
+
 def normalize(v: jax.Array, axis: int = -1, eps: float = 1e-8) -> jax.Array:
-    """L2-normalize along ``axis`` with epsilon guard."""
-    return v / (jnp.linalg.norm(v, axis=axis, keepdims=True) + eps)
+    """L2-normalize along ``axis`` with epsilon guard (NaN-safe gradient at
+    the zero vector — see safe_sqrt)."""
+    n = safe_sqrt(jnp.sum(v * v, axis=axis, keepdims=True))
+    return v / (n + eps)
 
 
 # ---------------------------------------------------------------------------
@@ -66,7 +80,7 @@ def axis_angle_to_quaternion(aa: jax.Array) -> jax.Array:
 
 def quaternion_to_axis_angle(quat: jax.Array) -> jax.Array:
     """(..., 4) real-first quaternion -> (..., 3) axis-angle."""
-    norms = jnp.linalg.norm(quat[..., 1:], axis=-1, keepdims=True)
+    norms = safe_sqrt(jnp.sum(quat[..., 1:] ** 2, axis=-1, keepdims=True))
     half_angles = jnp.arctan2(norms, quat[..., :1])
     angles = 2.0 * half_angles
     small = jnp.abs(angles) < 1e-6
@@ -99,7 +113,10 @@ def quaternion_to_matrix(quat: jax.Array) -> jax.Array:
 
 
 def _sqrt_positive_part(x: jax.Array) -> jax.Array:
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    # identical values to sqrt(max(x, 0)); NaN-safe gradient where a
+    # candidate denominator is exactly 0 (e.g. the three non-selected
+    # quaternion candidates of an exact-identity rotation)
+    return safe_sqrt(x)
 
 
 def matrix_to_quaternion(m: jax.Array) -> jax.Array:
