@@ -44,7 +44,12 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
-    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    # bf16 compute is the bench default: the promotion gate
+    # (tests/test_torch_parity.py::test_ode_sampler_vs_reference_cond_ode_sampler)
+    # shows the bf16 heun@50 end-state error (0.0381) stays INSIDE the
+    # reference's own RK45 integration-error band (0.0462) — the dtype is
+    # not the accuracy bottleneck, the shared integration budget is.
+    dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     method = os.environ.get("BENCH_METHOD", "heun")
     cfg = ModelConfig(sample_num=sample_num, sampling_steps=steps,
                       topk_hand=30, topk_obj=10, patch_size=256,

