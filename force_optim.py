@@ -6,13 +6,9 @@ synthetic batch end-to-end as a smoke check.
 """
 import os
 
-# honor an explicit JAX_PLATFORMS request before any vpho_tpu import
-# (pre-registered accelerator plugins set the platform via jax.config,
-# which overrides the env var — see main.py._honor_jax_platforms_env)
-if os.environ.get("JAX_PLATFORMS"):
-    import jax as _jax
+from vpho_tpu.utils.platform import honor_jax_platforms_env
 
-    _jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+honor_jax_platforms_env()
 
 from vpho_tpu.configs.config import get_config  # noqa: E402
 

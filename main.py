@@ -12,26 +12,9 @@ end-to-end.
 import os
 import sys
 
+from vpho_tpu.utils.platform import honor_jax_platforms_env
 
-def _honor_jax_platforms_env():
-    """Make an explicit JAX_PLATFORMS=cpu request actually stick.
-
-    Some environments pre-register an accelerator PJRT plugin from
-    sitecustomize and set the platform via jax.config, which OVERRIDES the
-    env var — a user-forced `JAX_PLATFORMS=cpu python main.py ...` would
-    silently (or, with the accelerator unreachable, hangingly) still
-    initialize the accelerator backend.  config.update after import wins as
-    long as no backend is initialized yet — so this must run BEFORE any
-    vpho_tpu import.
-    """
-    env = os.environ.get("JAX_PLATFORMS", "")
-    if env:
-        import jax
-
-        jax.config.update("jax_platforms", env)
-
-
-_honor_jax_platforms_env()
+honor_jax_platforms_env()
 
 from vpho_tpu.configs.config import get_config  # noqa: E402
 
