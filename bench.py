@@ -19,6 +19,10 @@ import sys
 import time
 
 
+from vpho_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import jax
 import jax.numpy as jnp
 

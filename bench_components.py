@@ -6,6 +6,10 @@ import json
 import os
 import time
 
+from vpho_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import jax
 import jax.numpy as jnp
 

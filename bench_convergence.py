@@ -97,10 +97,8 @@ def main():
     # ODE conditioning-independent at init, and untrained heatmaps turn topk
     # selection into a coin flip) — what matters is whether the bf16 policy
     # moves TASK metrics on a model whose predictions track supervision
-    from vpho_tpu.engine.trainer import make_predict_step as _mps
-
     bf16_model = VPHONet(compute_dtype=jnp.bfloat16)
-    predict16 = _mps(bf16_model, ctx)
+    predict16 = make_predict_step(bf16_model, ctx)
     pd16 = predict16(state, eval_batch, jax.random.PRNGKey(5))
     pd32 = predict(state, eval_batch, jax.random.PRNGKey(5))
     root, is_right = eval_batch["root_joint"], eval_batch["is_right"]

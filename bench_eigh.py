@@ -21,20 +21,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def power_dominant(A: jax.Array, iters: int = 12) -> jax.Array:
+def power_dominant(A: jax.Array, squarings: int = 4) -> jax.Array:
     """Dominant eigenvector of PSD (..., 4, 4) matrices.
 
-    Quaternion-average matrices are PSD with a large spectral gap when the
-    cluster is coherent (the common case: top-k candidates agree); the
-    trace-normalized start vector has nonzero overlap with the dominant
-    eigenspace for any PSD A (it is A's own column mix).
+    Matrix-power subspace iteration: repeated squaring gives A^(2^k), whose
+    columns all collapse onto the dominant eigenvector q (column i scales as
+    lambda^(2^k) * q_i * q); the largest-norm column is then a numerically
+    safe representative (q cannot be orthogonal to ALL four basis columns).
+    Unlike a fixed-start power iteration there is NO start vector to be
+    accidentally orthogonal to q.  Each step renormalizes by the max entry
+    to avoid overflow; 4 squarings = A^16, plenty for the spectral gaps of
+    coherent quaternion clusters (and ambiguous clusters have no meaningful
+    average anyway).  Pure batched 4x4 matmul + reductions — VPU/MXU work,
+    no sequential QR like eigh's TPU lowering.
     """
-    v = jnp.ones(A.shape[:-1], A.dtype)
-    v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
-    for _ in range(iters):
-        v = jnp.einsum("...ij,...j->...i", A, v)
-        v = v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
-    return v
+    P = A
+    for _ in range(squarings):
+        P = P / (jnp.max(jnp.abs(P), axis=(-2, -1), keepdims=True) + 1e-30)
+        P = jnp.einsum("...ij,...jk->...ik", P, P)
+    norms = jnp.linalg.norm(P, axis=-2)                    # column norms
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(P, best[..., None, None], axis=-1)[..., 0]
+    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
 
 
 def main():
@@ -58,7 +66,7 @@ def main():
     err = np.abs(v_p - v_e).max()
 
     out = {"max_abs_err": float(err)}
-    for name, f in (("eigh", f_eigh), ("power12", f_pow)):
+    for name, f in (("eigh", f_eigh), ("power", f_pow)):
         r = f(A)
         jax.block_until_ready(r)
         ts = []

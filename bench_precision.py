@@ -13,6 +13,10 @@ the real chip at blessed-ish shapes:
 import json
 import os
 
+from vpho_tpu.utils.platform import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

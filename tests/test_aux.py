@@ -88,22 +88,28 @@ class TestVizDumps:
         """Schema parity with the reference's save_viz_mesh_force
         (train_diff_hand_obj.py:842-852): mesh dicts carry vertex+face,
         lines are (N, 2, 3) segments, K rides along; left-hand x-flip and
-        flipped-root re-add match :802-850."""
+        flipped-root re-add match :802-850; forces are derived from the
+        POST-flip verts (:811-812), so the arrows stay on the meshes."""
         from vpho_tpu.engine.viz import save_viz_mesh_force
+        from vpho_tpu.models import anchor as anchor_lib
+        from vpho_tpu.models.mano import synthetic_mano
 
+        tables = anchor_lib.load_anchor_tables(synthetic_mano())
         rng = np.random.RandomState(0)
         obj_v = rng.randn(50, 3).astype(np.float32)
         faces = rng.randint(0, 50, (96, 3))
         root = np.array([0.1, -0.2, 0.6], np.float32)
         rootf = np.array([-0.1, -0.2, 0.6], np.float32)
+        pd_hand = rng.randn(778, 3).astype(np.float32)
         p = save_viz_mesh_force(
             str(tmp_path), 3, obj_verts=obj_v, obj_faces=faces,
             gt_rt=np.eye(3, 4), pd_rt=np.eye(3, 4),
             root_joint=root, root_joint_flip=rootf,
-            gt_hand_vert=rng.randn(778, 3), pd_hand_vert=rng.randn(778, 3),
+            gt_hand_vert=rng.randn(778, 3), pd_hand_vert=pd_hand,
             hand_faces=rng.randint(0, 778, (1538, 3)),
-            gt_force_point=np.zeros((32, 3)), gt_force_global=np.ones((32, 3)),
-            pd_force_point=np.zeros((32, 3)), pd_force_global=np.ones((32, 3)),
+            gt_force_local=rng.randn(32, 3).astype(np.float32),
+            pd_force_local=rng.randn(32, 3).astype(np.float32),
+            anchor_tables=tables,
             gravity=np.array([[0, 9.8, 0.0]]), com=np.zeros(3),
             K=np.eye(3), is_right=False)
         with open(p, "rb") as f:
@@ -118,16 +124,41 @@ class TestVizDumps:
         np.testing.assert_allclose(
             dt["gt_mesh"]["vertex"],
             (obj_v - root) * np.array([-1.0, 1, 1]) + rootf, atol=1e-6)
+        # force arrows are anchored ON the dumped pd hand mesh: every pd
+        # force start point is a barycentric combo of post-flip pd verts,
+        # so it must lie inside the mesh's bounding box
+        pd_mesh_v = dt["pd_hand_mesh"]["vertex"]
+        starts = dt["pd_force_line_#FF0000"][:, 0]
+        assert (starts >= pd_mesh_v.min(0) - 1e-4).all()
+        assert (starts <= pd_mesh_v.max(0) + 1e-4).all()
+
+    def test_force_local_to_global_np_matches_jax(self):
+        from vpho_tpu.models import anchor as anchor_lib
+        from vpho_tpu.models.mano import synthetic_mano
+
+        import jax
+        import jax.numpy as jnp
+
+        tables = anchor_lib.load_anchor_tables(synthetic_mano())
+        rng = np.random.RandomState(3)
+        verts = rng.randn(778, 3).astype(np.float32) * 0.1
+        fl = rng.randn(32, 3).astype(np.float32)
+        p_np, g_np = anchor_lib.force_local_to_global_np(tables, fl, verts)
+        p_j, g_j = anchor_lib.force_local_to_global(
+            tables, jnp.asarray(fl), jnp.asarray(verts))
+        np.testing.assert_allclose(p_np, np.asarray(p_j), atol=1e-5)
+        np.testing.assert_allclose(g_np, np.asarray(g_j), atol=1e-5)
 
     def test_load_obj_faces_triangulates(self, tmp_path):
         from vpho_tpu.models.ycb import load_obj_faces
 
         obj = tmp_path / "m.obj"
         obj.write_text("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
-                       "f 1/1/1 2/2/2 3/3/3 4/4/4\nf 1 2 3\n")
+                       "f 1/1/1 2/2/2 3/3/3 4/4/4\nf 1 2 3\n"
+                       "f -4 -3 -2\n")  # spec-legal relative indices
         f = load_obj_faces(str(obj))
         np.testing.assert_array_equal(
-            f, [[0, 1, 2], [0, 2, 3], [0, 1, 2]])
+            f, [[0, 1, 2], [0, 2, 3], [0, 1, 2], [0, 1, 2]])
 
 
 class TestHeadObjectRegress:

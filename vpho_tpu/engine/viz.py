@@ -95,8 +95,7 @@ def save_viz_force(save_dir: str, idx: int, *, vert, force_point, force_global,
 def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
                         gt_rt, pd_rt, root_joint, root_joint_flip,
                         gt_hand_vert, pd_hand_vert, hand_faces,
-                        gt_force_point, gt_force_global,
-                        pd_force_point, pd_force_global,
+                        gt_force_local, pd_force_local, anchor_tables,
                         gravity, com, K, is_right=True, rgb_path: str = ""):
     """Full-mesh force dump (train_diff_hand_obj.py:775-856).
 
@@ -113,8 +112,14 @@ def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
     All inputs are single-sample host arrays.  Verts are root-relative in
     the flipped (right-hand) frame, as the aggregation emits them; the
     reference un-flips x for left hands before dumping (:802-808) and adds
-    the flipped root back for camera-frame placement (:826-850).
+    the flipped root back for camera-frame placement (:826-850).  Forces
+    arrive as LOCAL anchor-frame vectors and are converted to global
+    points/directions AFTER the flip, from the dumped verts themselves
+    (``from_local_to_global`` on post-flip pd verts / unflipped gt verts,
+    :811-812) — so the arrows stay attached to the meshes they annotate.
     """
+    from ..models.anchor import force_local_to_global_np
+
     obj_verts = np.asarray(obj_verts)
     gt_rt = np.asarray(gt_rt)
     pd_rt = np.asarray(pd_rt)
@@ -124,7 +129,7 @@ def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
     com = np.asarray(com)
     gt_com = com @ gt_rt[:3, :3].T + gt_rt[:3, 3] - root
     pd_com = com @ pd_rt[:3, :3].T + pd_rt[:3, 3] - root
-    gt_hand = np.array(gt_hand_vert, copy=True)
+    gt_hand = np.asarray(gt_hand_vert)  # NOT flipped (reference :803-810)
     pd_hand = np.asarray(pd_hand_vert) - root
     gravity = np.array(gravity, copy=True)
 
@@ -134,12 +139,14 @@ def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
         gt_com = gt_com * np.array([-1.0, 1, 1])
         pd_com = pd_com * np.array([-1.0, 1, 1])
 
-    gt_force = np.stack([np.asarray(gt_force_point),
-                         np.asarray(gt_force_point)
-                         + np.asarray(gt_force_global) * 0.1], axis=1)
-    pd_force = np.stack([np.asarray(pd_force_point),
-                         np.asarray(pd_force_point)
-                         + np.asarray(pd_force_global) * 0.1], axis=1)
+    gt_force_point, gt_force_global = force_local_to_global_np(
+        anchor_tables, gt_force_local, gt_hand)
+    pd_force_point, pd_force_global = force_local_to_global_np(
+        anchor_tables, pd_force_local, pd_hand)
+    gt_force = np.stack([gt_force_point,
+                         gt_force_point + gt_force_global * 0.1], axis=1)
+    pd_force = np.stack([pd_force_point,
+                         pd_force_point + pd_force_global * 0.1], axis=1)
     gt_grav = np.stack([gt_com[None], gt_com[None] + gravity * 0.1], axis=1)
     pd_grav = np.stack([pd_com[None], pd_com[None] + gravity * 0.1], axis=1)
 

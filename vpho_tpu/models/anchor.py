@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import transforms as T
 from ..utils.hand import SKELETON_LEVEL, build_vert2joint, vert2joint_apply
 
 # anchor-id groups per skeleton segment (physics_fn.py:127-154): the OrderedDict
@@ -96,13 +97,10 @@ def load_anchor_tables(mano_model, asset_path: str = "asset/2021_CVPR_CPF") -> F
 
 
 def _norm(v, eps=1e-8):
-    # safe_sqrt form: jnp.linalg.norm has a NaN gradient at the zero vector
-    # (degenerate anchor triangle / zero bone), which poisons co-computed
-    # gradients through shared layers even at zero cotangent
-    sq = jnp.sum(v * v, axis=-1, keepdims=True)
-    pos = sq > 0
-    n = jnp.where(pos, jnp.sqrt(jnp.where(pos, sq, 1.0)), 0.0)
-    return v / (n + eps)
+    # T.normalize is the safe_sqrt form: jnp.linalg.norm has a NaN gradient
+    # at the zero vector (degenerate anchor triangle / zero bone), which
+    # poisons co-computed gradients through shared layers even at 0 cotangent
+    return T.normalize(v, eps=eps)
 
 
 def anchor_points_and_frames(tables: ForceAnchorTables, verts: jax.Array):
@@ -182,6 +180,38 @@ def pool_contact_to_anchors_np(tables: ForceAnchorTables, hand_contact):
         np.shape(hand_contact)[:-1] + (32, 3))
     w = w / w.sum(axis=1, keepdims=True)
     return (fc * w).sum(-1)
+
+
+def force_local_to_global_np(tables: ForceAnchorTables, force_local, verts):
+    """Numpy twin of ``force_local_to_global`` for host-side consumers
+    (viz writers / data workers — eager per-op jnp dispatch is expensive on
+    small hosts and would initialize a device backend).  Single sample:
+    force_local (32, 3), verts (778, 3).  Parity with the jax version is
+    pinned by tests/test_anchor.py."""
+    fvi = np.asarray(tables.face_vert_idx).reshape(-1)
+    verts = np.asarray(verts, np.float64)
+    tri = verts[fvi].reshape(32, 3, 3)
+    b1 = tri[:, 1] - tri[:, 0]
+    b2 = tri[:, 2] - tri[:, 0]
+    v2j = np.asarray(tables.vert2joint)
+    joints = np.einsum("vd,jv->jd", verts, v2j)
+    skel = np.asarray(tables.skeleton)
+    y_raw = joints[skel[:, 1]] - joints[skel[:, 0]]
+
+    def nrm(v, eps=1e-8):
+        n = np.sqrt((v * v).sum(-1, keepdims=True))
+        return v / (n + eps)
+
+    z = nrm(np.cross(b1, b2))
+    y = nrm(y_raw)
+    x = np.cross(y, z)
+    y = nrm(np.cross(z, x))
+    frame = np.stack([x, y, z], axis=-1)                     # (32, 3, 3)
+
+    w = np.asarray(tables.anchor_weight)
+    point = w[:, 1:2] * b1 + w[:, 2:3] * b2 + tri[:, 0]
+    force_global = np.einsum("bi,bji->bj", np.asarray(force_local, np.float64), frame)
+    return point.astype(np.float32), force_global.astype(np.float32)
 
 
 def check_is_grasped_np(force_contact, thresh: float = 0.0) -> bool:

@@ -108,15 +108,20 @@ def load_obj_vertices(path: str) -> np.ndarray:
 def load_obj_faces(path: str) -> np.ndarray:
     """Triangle index parser for the same OBJ files (viz-only, host-side).
 
-    Handles the ``f v/vt/vn`` face syntax; fans polygons into triangles.
-    Returns (F, 3) int32, 0-based.  Used by the mesh-force visualization
-    (reference train_diff_hand_obj.py:781-782 pulls ``faces`` from
-    YCB_MESHES via trimesh)."""
+    Handles the ``f v/vt/vn`` face syntax (including spec-legal negative
+    relative indices, resolved against the vertices seen so far); fans
+    polygons into triangles.  Returns (F, 3) int32, 0-based.  Used by the
+    mesh-force visualization (reference train_diff_hand_obj.py:781-782
+    pulls ``faces`` from YCB_MESHES via trimesh)."""
     faces = []
+    n_verts = 0
     with open(path, "r") as f:
         for line in f:
-            if line.startswith("f "):
-                idx = [int(p.split("/")[0]) - 1 for p in line.split()[1:]]
+            if line.startswith("v "):
+                n_verts += 1
+            elif line.startswith("f "):
+                raw = [int(p.split("/")[0]) for p in line.split()[1:]]
+                idx = [v - 1 if v > 0 else n_verts + v for v in raw]
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
     return np.asarray(faces, np.int32)
