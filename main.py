@@ -23,10 +23,10 @@ def main():
     cfg = get_config()
     from vpho_tpu.engine.runner import run
 
-    if cfg.mode in ("train", "eval", "infer"):
-        run(cfg)
-    else:
-        raise NotImplementedError(cfg.mode)
+    # full mode surface of the reference dispatch (main.py:10-22 there);
+    # runner.run handles each, incl. the loud NotImplementedError for
+    # 'energy' (dead in the reference too)
+    run(cfg)
 
 
 if __name__ == "__main__":

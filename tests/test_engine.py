@@ -160,6 +160,36 @@ class TestRunnerSmoke:
         assert all((np.asarray(r["index"]) >= 0).all() for r in rows)
 
 
+class TestInferCandidateMode:
+    def test_candidate_dump_schema(self, tmp_path, cfg):
+        """--mode infer_candidate dumps raw hypothesis sets (the reference
+        names the mode but never defines the method, main.py:12-13); rows
+        carry the S diffusion candidates + physics cue + index/path."""
+        import dataclasses
+        import pickle
+
+        from vpho_tpu.engine.runner import run
+
+        c = dataclasses.replace(cfg, mode="infer_candidate",
+                                output_dir=str(tmp_path), eval_batch_size=4,
+                                batch_size=4)
+        trainer = run(c)
+        files = [f for f in os.listdir(trainer.save_dir)
+                 if f.startswith("my-candidates")]
+        assert files, os.listdir(trainer.save_dir)
+        with open(os.path.join(trainer.save_dir, files[0]), "rb") as f:
+            rows = pickle.load(f)
+        assert rows
+        r = rows[0]
+        S = c.sample_num
+        assert r["diff_hand_mano"].shape[1:] == (S, 58)
+        assert r["diff_hand_mano"].dtype == np.float16
+        assert r["diff_obj_6d"].shape[1:] == (S, 9)
+        assert r["force_local"].shape[1:] == (32, 3)
+        assert r["reg_hand_joint"].shape[1:] == (21, 3)
+        assert "index" in r and (np.asarray(r["index"]) >= 0).all()
+
+
 class TestEvalPathRescore:
     def test_rescore_dump(self, tmp_path, ctx):
         import pickle

@@ -66,14 +66,12 @@ def run(cfg: Config):
             print(k, v)
         return report
 
-    if cfg.mode in ("infer_candidate", "energy"):
-        # CLI-surface parity: both modes exist in the reference dispatch but
-        # are dead there — 'energy' raises NotImplementedError outright
-        # (main.py:14-15) and 'infer_candidate' calls a method the reference
-        # Trainer never defines (main.py:12-13 -> AttributeError)
+    if cfg.mode == "energy":
+        # CLI-surface parity: the mode exists in the reference dispatch and
+        # raises NotImplementedError outright there too (main.py:14-15)
         raise NotImplementedError(
-            f"--mode {cfg.mode} is non-functional in the reference "
-            "(zhoujun-7/VPHO main.py:12-15) and intentionally not rebuilt")
+            "--mode energy is non-functional in the reference "
+            "(zhoujun-7/VPHO main.py:14-15) and intentionally not rebuilt")
 
     # multi-host bring-up (single-process no-op); replaces Accelerate's
     # torch.distributed init (base_trainer.py:22)
@@ -138,6 +136,11 @@ def run(cfg: Config):
     elif cfg.mode == "eval":
         out = trainer.evaluate(get_eval(cfg.eval_full))
         trainer.dump_predictions(out["collector_res"])
+    elif cfg.mode == "infer_candidate":
+        # the reference names this mode but its Trainer never defines the
+        # method (main.py:12-13 -> AttributeError); implemented intent here:
+        # dump the raw diffusion candidate sets over the full test split
+        trainer.infer_candidates(get_eval(True))
     elif cfg.mode == "infer":
         out = trainer.evaluate(get_eval(True))
         trainer.dump_predictions(out["collector_res"], tag="-infer")
@@ -152,4 +155,6 @@ def run(cfg: Config):
                  for r in out["collector_res"]], axis=0)
             zip_path = dump_codalab(joints, verts, trainer.save_dir)
             log.info(f"codalab submission: {zip_path}")
+    else:
+        raise ValueError(f"Invalid mode: {cfg.mode}")  # main.py:21-22 parity
     return trainer

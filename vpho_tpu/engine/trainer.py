@@ -151,6 +151,25 @@ def make_predict_step(model: VPHONet, ctx: V.VPHOContext):
     return jax.jit(predict_step)
 
 
+def make_candidate_step(model: VPHONet, ctx: V.VPHOContext):
+    """Trunk + diffusion hypothesis sampling only — no aggregation.
+
+    Backs ``--mode infer_candidate``.  The reference's dispatch names this
+    mode (main.py:12-13) but its Trainer never defines ``infer_candidate``
+    (instant AttributeError); this implements the evident intent: dump the
+    raw candidate sets for offline aggregation studies.
+    """
+    from ..models.vpho import forward_candidates
+
+    def candidate_step(state: TrainState, batch, rng):
+        variables = {"params": state.params, "batch_stats": state.batch_stats,
+                     "buffers": state.buffers}
+        pd_dt, _ = forward_candidates(model, variables, ctx, batch, rng)
+        return pd_dt
+
+    return jax.jit(candidate_step)
+
+
 # ---------------------------------------------------------------------------
 # eval postprocess (train_diff_hand_obj.py:578-602)
 # ---------------------------------------------------------------------------
@@ -549,6 +568,76 @@ class Trainer:
         with open(path, "wb") as f:
             pickle.dump(collector_res, f)
         self.logger.info(f"Dumped predictions: {path}")
+
+    def infer_candidates(self, batches: Iterable[Dict[str, Any]],
+                         path_of=None) -> str:
+        """``--mode infer_candidate``: dump raw hypothesis sets, no aggregation.
+
+        The reference dispatches this mode (main.py:12-13) to a Trainer
+        method that does not exist (AttributeError on arrival); this is the
+        evident intent, implemented: per test frame, the S diffusion
+        candidates (hand MANO 58-d, object 9-d), the regression candidate,
+        and the physics cue — everything an offline aggregation study needs,
+        at fp16 where bulky.  Returns the pkl path.
+        """
+        path_of = path_of or (getattr(self.eval_dataset, "get_path", None)
+                              if self.eval_dataset is not None else None)
+        step = make_candidate_step(self.model, self.ctx)
+        rng = jax.random.PRNGKey(128)
+        from ..parallel.mesh import (allgather_rows, host_local_indices,
+                                     host_local_rows as L)
+
+        rows = []
+        for i, batch in enumerate(batches):
+            valid = batch.pop("_valid", None)
+            index = batch.pop("_index", None)
+            n = next(iter(batch.values())).shape[0]
+            m = self.mesh.size
+            if n % m:
+                target = -(-n // m) * m
+                batch, pad_valid = pad_batch_to(batch, target)
+                valid = pad_valid if valid is None else np.concatenate(
+                    [np.asarray(valid), np.zeros(target - n, bool)])
+                if index is not None:
+                    index = np.concatenate(
+                        [np.asarray(index), np.full(target - n, -1)])
+            jbatch = shard_batch(batch, self.mesh)
+            pd = step(self.state, jbatch, jax.random.fold_in(rng, i))
+            n_rows = int(pd["diff_final_obj_6d"].shape[0])
+            own = host_local_indices(pd["diff_final_obj_6d"], n_rows)
+            rows.append({
+                "diff_hand_mano": np.asarray(L(pd["diff_final_hand_mano"]),
+                                             np.float16),
+                "diff_obj_6d": np.asarray(L(pd["diff_final_obj_6d"]),
+                                          np.float32),
+                "reg_hand_joint": np.asarray(L(pd["reg_hand_joint"]),
+                                             np.float16),
+                "force_local": np.asarray(L(pd["force_local"]), np.float16),
+                "is_grasped": np.asarray(L(jbatch["is_grasped"])),
+                "obj_id": np.asarray(L(jbatch["obj_id"])),
+                "_valid": (np.asarray(valid)[own] if valid is not None
+                           else np.ones(own.shape[0], bool)),
+                "_index": (np.asarray(index)[own] if index is not None
+                           else np.full(own.shape[0], -1)),
+            })
+        rows = allgather_rows(rows)
+        filtered = []
+        for r in rows:
+            keep = np.asarray(r.pop("_valid"), bool)
+            idx = np.asarray(r.pop("_index"))[keep]
+            row = {k: np.asarray(v)[keep] for k, v in r.items()}
+            if (idx >= 0).all():
+                row["index"] = idx
+                if path_of is not None:
+                    row["path"] = [path_of(int(j)) for j in idx]
+            filtered.append(row)
+        path = os.path.join(
+            self.save_dir,
+            f"my-candidates_align-{self.cfg.clean_data_mode}.pkl")
+        with open(path, "wb") as f:
+            pickle.dump(filtered, f)
+        self.logger.info(f"Dumped candidates: {path}")
+        return path
 
 
 @dataclasses.dataclass

@@ -387,15 +387,22 @@ def postprocess_diffusion_hand(final_6d: Array, shape: Array, sample_num: int) -
     return jnp.concatenate([aa, shp], axis=-1)
 
 
-def forward_predict(
+def forward_candidates(
     model: VPHONet,
     variables,
     ctx: VPHOContext,
     batch: Dict[str, Array],
     rng: Array,
     return_trajectory: bool = False,
-) -> Dict[str, Array]:
-    """Full predict pipeline (VPHO.py:228-304).  One jittable graph."""
+):
+    """Trunk + dual-ODE hypothesis sampling WITHOUT aggregation.
+
+    The candidate-generation stage of the predict pipeline (VPHO.py:228-271),
+    factored out so ``--mode infer_candidate`` can dump the raw hypothesis
+    sets for offline aggregation studies without paying for the 5-stage HOI
+    orchestration.  Returns ``(pd_dt, out)`` where ``out`` is the trunk
+    output dict the aggregation stage consumes.
+    """
     cfg = ctx.cfg
     S = cfg.sample_num
     out = model.apply(variables, batch, False, method=VPHONet.trunk)
@@ -434,6 +441,22 @@ def forward_predict(
     if return_trajectory:
         pd_dt["diff_inprocess_hand_6d"] = traj[..., :96].reshape(B, S, -1, 96)
         pd_dt["diff_inprocess_obj_6d"] = traj[..., 96:].reshape(B, S, -1, 9)
+    return pd_dt, out
+
+
+def forward_predict(
+    model: VPHONet,
+    variables,
+    ctx: VPHOContext,
+    batch: Dict[str, Array],
+    rng: Array,
+    return_trajectory: bool = False,
+) -> Dict[str, Array]:
+    """Full predict pipeline (VPHO.py:228-304).  One jittable graph."""
+    cfg = ctx.cfg
+    pd_dt, out = forward_candidates(
+        model, variables, ctx, batch, rng, return_trajectory=return_trajectory)
+    hand_mano = pd_dt["diff_final_hand_mano"]
 
     # aggregation: the default heatmap_cascade/heatmap_cascade pair runs the
     # full 5-stage HOI orchestration; any other --aggregation_mode_hand/obj
