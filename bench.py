@@ -55,6 +55,9 @@ def main():
     # not the accuracy bottleneck, the shared integration budget is.
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
     method = os.environ.get("BENCH_METHOD", "heun")
+    from vpho_tpu.utils import transforms as T
+
+    T.QUAT_MEAN_IMPL = os.environ.get("BENCH_QUAT", T.QUAT_MEAN_IMPL)
     cfg = ModelConfig(sample_num=sample_num, sampling_steps=steps,
                       topk_hand=30, topk_obj=10, patch_size=256,
                       compute_dtype=dtype_name, ode_method=method)

@@ -21,28 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def power_dominant(A: jax.Array, squarings: int = 4) -> jax.Array:
-    """Dominant eigenvector of PSD (..., 4, 4) matrices.
-
-    Matrix-power subspace iteration: repeated squaring gives A^(2^k), whose
-    columns all collapse onto the dominant eigenvector q (column i scales as
-    lambda^(2^k) * q_i * q); the largest-norm column is then a numerically
-    safe representative (q cannot be orthogonal to ALL four basis columns).
-    Unlike a fixed-start power iteration there is NO start vector to be
-    accidentally orthogonal to q.  Each step renormalizes by the max entry
-    to avoid overflow; 4 squarings = A^16, plenty for the spectral gaps of
-    coherent quaternion clusters (and ambiguous clusters have no meaningful
-    average anyway).  Pure batched 4x4 matmul + reductions — VPU/MXU work,
-    no sequential QR like eigh's TPU lowering.
-    """
-    P = A
-    for _ in range(squarings):
-        P = P / (jnp.max(jnp.abs(P), axis=(-2, -1), keepdims=True) + 1e-30)
-        P = jnp.einsum("...ij,...jk->...ik", P, P)
-    norms = jnp.linalg.norm(P, axis=-2)                    # column norms
-    best = jnp.argmax(norms, axis=-1)
-    v = jnp.take_along_axis(P, best[..., None, None], axis=-1)[..., 0]
-    return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-20)
+from vpho_tpu.utils.transforms import dominant_eigvec_4x4_power
 
 
 def main():
@@ -57,18 +36,19 @@ def main():
     A = jnp.asarray(np.einsum("nki,nkj->nij", qs, qs) / 30, jnp.float32)
 
     f_eigh = jax.jit(lambda A: jnp.linalg.eigh(A)[1][..., -1])
-    f_pow = jax.jit(lambda A: power_dominant(A))
+    f_pow = jax.jit(lambda A: dominant_eigvec_4x4_power(A))
 
-    v_e = np.asarray(f_eigh(A))
-    v_p = np.asarray(f_pow(A))
-    # sign-align then compare
-    v_p = v_p * np.sign((v_p * v_e).sum(-1, keepdims=True))
-    err = np.abs(v_p - v_e).max()
-
-    out = {"max_abs_err": float(err)}
-    for name, f in (("eigh", f_eigh), ("power", f_pow)):
+    out = {"n": n}
+    results = {}
+    # power first: it compiles in seconds; eigh's TPU lowering (sequential
+    # QR) can take minutes at large batch — print incrementally so a
+    # timeout still leaves data
+    for name, f in (("power", f_pow), ("eigh", f_eigh)):
+        t0 = time.perf_counter()
         r = f(A)
         jax.block_until_ready(r)
+        out[f"{name}_compile_s"] = round(time.perf_counter() - t0, 1)
+        results[name] = np.asarray(r)
         ts = []
         for _ in range(10):
             t0 = time.perf_counter()
@@ -78,6 +58,12 @@ def main():
             ts.append((time.perf_counter() - t0) / 4)
         ts.sort()
         out[f"{name}_ms"] = round(ts[len(ts) // 2] * 1e3, 3)
+        print(json.dumps(out), flush=True)
+
+    v_p = results["power"]
+    v_e = results["eigh"]
+    v_p = v_p * np.sign((v_p * v_e).sum(-1, keepdims=True))
+    out["max_abs_err"] = float(np.abs(v_p - v_e).max())
     print(json.dumps(out))
 
 

@@ -100,6 +100,33 @@ class TestAverageQuaternion:
         ang = float(T.quaternion_to_axis_angle(avg)[0, 2])
         assert ang > 0.2
 
+    def test_power_impl_matches_eigh(self):
+        """--quat_mean_impl power: matrix-squaring subspace iteration must
+        agree with eigh on realistic coherent candidate clusters (the only
+        regime where a quaternion average is meaningful)."""
+        rng = np.random.RandomState(3)
+        base = rng.randn(200, 4)
+        base /= np.linalg.norm(base, axis=-1, keepdims=True)
+        qs = base[:, None] + 0.15 * rng.randn(200, 30, 4)
+        qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+        Q = jnp.asarray(qs, jnp.float32)
+        W = jnp.asarray(rng.rand(200, 30).astype(np.float32) + 0.1)
+        for weights in (None, W):
+            a_e = np.asarray(T.average_quaternion(Q, weights, impl="eigh"))
+            a_p = np.asarray(T.average_quaternion(Q, weights, impl="power"))
+            # compare as rotations (sign already canonicalized by the api)
+            dots = np.abs((a_e * a_p).sum(-1))
+            assert dots.min() > 1 - 1e-5, dots.min()
+
+    def test_power_impl_degenerate_spread(self):
+        """Antipodal/orthogonal candidates (no spectral gap to speak of):
+        the power impl must still return a unit quaternion, not NaN."""
+        q = jnp.asarray(np.stack([np.eye(4)[i] for i in range(4)])[None],
+                        jnp.float32)  # (1, 4, 4) orthonormal spread
+        avg = np.asarray(T.average_quaternion(q, impl="power"))
+        assert np.isfinite(avg).all()
+        np.testing.assert_allclose(np.linalg.norm(avg, axis=-1), 1.0, atol=1e-4)
+
 
 class TestProjection:
     def test_project_simple_pinhole(self):

@@ -133,6 +133,9 @@ class Config:
     ode_method: str = "heun"  # promotion rationale: ModelConfig.ode_method
     ode_schedule: str = "uniform"  # 'karras' available; study: docs/PERF.md r3
     compute_dtype: str = "float32"
+    # dominant-eigenvector solve inside quaternion averaging: eigh | power
+    # (matrix-squaring subspace iteration; see utils/transforms.py)
+    quat_mean_impl: str = "eigh"
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
     models_dir: str = ""
@@ -277,6 +280,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["uniform", "karras"])
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--quat_mean_impl", type=str, default="eigh",
+                   choices=["eigh", "power"])
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--mano_root", type=str, default="")
     p.add_argument("--models_dir", type=str, default="")

@@ -191,11 +191,44 @@ def matrix_to_rotation_6d(m: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def average_quaternion(Q: jax.Array, W: jax.Array | None = None) -> jax.Array:
+# Implementation switch for the dominant-eigenvector solve inside
+# average_quaternion: "eigh" (LAPACK-style, XLA's TPU lowering is a
+# sequential QR loop) or "power" (matrix-squaring subspace iteration —
+# pure batched 4x4 matmuls, MXU/VPU work).  Module-level so the many
+# aggregation call sites need no plumbing; set it BEFORE tracing (jit
+# captures the choice at trace time).  CLI: --quat_mean_impl.
+QUAT_MEAN_IMPL = "eigh"
+
+
+def dominant_eigvec_4x4_power(A: jax.Array, squarings: int = 5) -> jax.Array:
+    """Dominant eigenvector of PSD (..., 4, 4) matrices by repeated squaring.
+
+    A^(2^k) collapses every column onto the dominant eigenvector q (column i
+    scales as lambda_max^(2^k) q_i q); the largest-norm column is then a
+    numerically safe representative — q cannot be orthogonal to ALL four
+    basis columns, so unlike fixed-start power iteration there is no bad
+    start vector.  Each squaring renormalizes by the max |entry| to avoid
+    overflow; 5 squarings = A^32, ample for the spectral gaps of coherent
+    quaternion clusters (ambiguous clusters have no meaningful average for
+    either impl).  Batched matmuls + reductions only — no sequential QR.
+    """
+    P = A
+    for _ in range(squarings):
+        P = P / (jnp.max(jnp.abs(P), axis=(-2, -1), keepdims=True) + 1e-30)
+        P = jnp.einsum("...ij,...jk->...ik", P, P, precision=_HI)
+    norms = jnp.sum(P * P, axis=-2)  # squared column norms
+    best = jnp.argmax(norms, axis=-1)
+    v = jnp.take_along_axis(P, best[..., None, None], axis=-1)[..., 0]
+    return normalize(v)
+
+
+def average_quaternion(Q: jax.Array, W: jax.Array | None = None,
+                       impl: str | None = None) -> jax.Array:
     """Weighted quaternion average over the -2 axis via eigen decomposition.
 
     Q: (..., N, 4) real-first; W: (..., N) or None.
     Returns (..., 4) with non-negative real part.
+    ``impl`` overrides the module default ``QUAT_MEAN_IMPL`` (eigh|power).
     """
     if W is None:
         W = jnp.ones_like(Q[..., 0])
@@ -204,9 +237,12 @@ def average_quaternion(Q: jax.Array, W: jax.Array | None = None) -> jax.Array:
     A = jnp.einsum("...ni,...nj->...nij", oriented, oriented, precision=_HI)
     A = jnp.sum(A * W[..., None, None], axis=-3)
     A = A / weight_sum[..., None]
-    # largest-eigenvalue eigenvector == last column of eigh's eigenvectors
-    _, vecs = jnp.linalg.eigh(A)
-    q_avg = vecs[..., -1]
+    if (impl or QUAT_MEAN_IMPL) == "power":
+        q_avg = dominant_eigvec_4x4_power(A)
+    else:
+        # largest-eigenvalue eigenvector == last column of eigh's eigenvectors
+        _, vecs = jnp.linalg.eigh(A)
+        q_avg = vecs[..., -1]
     return jnp.where(q_avg[..., :1] > 0, 1.0, -1.0) * q_avg
 
 
