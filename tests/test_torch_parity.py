@@ -456,3 +456,117 @@ def test_full_state_dict_mapping():
         sd["head_mano.fc_pose.weight"].T)
     # missing FPN keys were tolerated (strict=False semantics)
     assert any(k.startswith("feature_extractor") for k in report["missing"])
+
+
+# ---------------------------------------------------------------------------
+# transform_fn numerics (reference lib/utils/transform_fn.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_transform_fn():
+    """Import the reference's transform_fn with pytorch3d stubbed.
+
+    Its module-level pytorch3d import pulls only matrix_to_rotation_6d /
+    rotation_6d_to_matrix, used by obj_9D_to_mat/obj_mat_to_9D — which we
+    don't exercise here; stub them so the pure torch/numpy functions load.
+    """
+    p3d = types.ModuleType("pytorch3d")
+    p3d_t = types.ModuleType("pytorch3d.transforms")
+    p3d_t.matrix_to_rotation_6d = None
+    p3d_t.rotation_6d_to_matrix = None
+    p3d.transforms = p3d_t
+    saved = {k: sys.modules.get(k) for k in ("pytorch3d", "pytorch3d.transforms")}
+    sys.modules["pytorch3d"] = p3d
+    sys.modules["pytorch3d.transforms"] = p3d_t
+    try:
+        import importlib
+
+        import lib.utils.transform_fn as ref_tf
+        importlib.reload(ref_tf)
+        yield ref_tf
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+
+def test_average_quaternion_parity(ref_transform_fn):
+    """Ours (both impls) vs the reference's torch eigh implementation
+    (transform_fn.py:101-125) on realistic clustered candidates."""
+    from vpho_tpu.utils import transforms as T
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(64, 4)
+    base /= np.linalg.norm(base, axis=-1, keepdims=True)
+    qs = (base[:, None] + 0.2 * rs.randn(64, 15, 4)).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=-1, keepdims=True)
+    w = (rs.rand(64, 15).astype(np.float32) + 0.05)
+
+    ref = ref_transform_fn.average_quaternion(
+        torch.from_numpy(qs), torch.from_numpy(w)).numpy()
+    ours_eigh = np.asarray(T.average_quaternion(
+        jnp.asarray(qs), jnp.asarray(w), impl="eigh"))
+    ours_pow = np.asarray(T.average_quaternion(
+        jnp.asarray(qs), jnp.asarray(w), impl="power"))
+    # eigenvectors are sign/phase-fixed by both apis (real part > 0);
+    # compare as rotations via |dot|
+    for ours in (ours_eigh, ours_pow):
+        dots = np.abs((ref * ours).sum(-1))
+        assert dots.min() > 1 - 1e-4, dots.min()
+
+
+def test_rigid_align_parity(ref_transform_fn):
+    """Umeyama alignment vs the reference's rigid_align_AtoB
+    (transform_fn.py:43-66, HFL-derived; drives PA-MJE/PA-MVE)."""
+    from vpho_tpu.utils import transforms as T
+
+    rs = np.random.RandomState(12)
+    A = rs.randn(21, 3).astype(np.float64)
+    # B = similarity transform of A plus noise
+    ang = rs.randn(3)
+    Rm = np.asarray(T.axis_angle_to_matrix(jnp.asarray(ang[None])))[0]
+    B = 1.7 * A @ Rm.T + np.array([0.1, -0.2, 0.05]) + 0.01 * rs.randn(21, 3)
+
+    ref = ref_transform_fn.rigid_align_AtoB(A, B)
+    ours = np.asarray(T.rigid_align(jnp.asarray(A[None]), jnp.asarray(B[None]))[0])
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_projection_parity(ref_transform_fn):
+    from vpho_tpu.utils import transforms as T
+
+    rs = np.random.RandomState(13)
+    pt = rs.randn(4, 21, 3).astype(np.float32)
+    pt[..., 2] += 5.0
+    K = np.tile(np.array([[475.0, 0, 316], [0, 475.0, 244], [0, 0, 1]],
+                         np.float32), (4, 1, 1))
+    ref = ref_transform_fn.project_pt3d_to_pt2d(
+        torch.from_numpy(pt), torch.from_numpy(K)).numpy()
+    ours = np.asarray(T.project_pt3d_to_pt2d(jnp.asarray(pt), jnp.asarray(K)))
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    uvd = np.concatenate([ref, pt[..., 2:]], axis=-1)
+    ref_xyz = ref_transform_fn.inverse_project_uvd_to_xyz(
+        torch.from_numpy(uvd), torch.from_numpy(K)).numpy()
+    ours_xyz = np.asarray(T.inverse_project_uvd_to_xyz(
+        jnp.asarray(uvd), jnp.asarray(K)))
+    np.testing.assert_allclose(ours_xyz, ref_xyz, atol=1e-4)
+    np.testing.assert_allclose(ours_xyz, pt, atol=1e-3)
+
+
+def test_matmul_for_rt_parity(ref_transform_fn):
+    from vpho_tpu.utils import transforms as T
+
+    rs = np.random.RandomState(14)
+    aa = rs.randn(6, 3)
+    Rm = np.asarray(T.axis_angle_to_matrix(jnp.asarray(aa)))
+    t = rs.randn(6, 3, 1)
+    T1 = np.concatenate([Rm[:3], t[:3]], axis=-1).astype(np.float32)
+    T2 = np.concatenate([Rm[3:], t[3:]], axis=-1).astype(np.float32)
+    ref = ref_transform_fn.matmul_for_rt(
+        torch.from_numpy(T1), torch.from_numpy(T2)).numpy()
+    ours = np.asarray(T.matmul_for_rt(jnp.asarray(T1), jnp.asarray(T2)))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
