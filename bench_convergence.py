@@ -13,7 +13,7 @@ Prints one JSON line per eval point:
      "obj_trans_mm": ..., "total_loss": ...}
 
 Run on the real chip (default) or CPU (slow).  Knobs: CONV_STEPS (default
-400), CONV_BATCH (16), CONV_EVAL_EVERY (100).
+400), CONV_BATCH (16), CONV_EVAL_EVERY (100), CONV_PATCH (128).
 """
 import json
 import os
@@ -40,7 +40,7 @@ def main():
     steps = int(os.environ.get("CONV_STEPS", "400"))
     B = int(os.environ.get("CONV_BATCH", "16"))
     every = int(os.environ.get("CONV_EVAL_EVERY", "100"))
-    patch = 128
+    patch = int(os.environ.get("CONV_PATCH", "128"))
 
     cfg = Config(batch_size=B, sampling_steps=10, sample_num=20, repeat_num=4,
                  patch_size=patch, topk_hand=5, topk_obj=5, num_workers=0)
