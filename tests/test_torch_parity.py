@@ -570,3 +570,44 @@ def test_matmul_for_rt_parity(ref_transform_fn):
         torch.from_numpy(T1), torch.from_numpy(T2)).numpy()
     ours = np.asarray(T.matmul_for_rt(jnp.asarray(T1), jnp.asarray(T2)))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_cross_module_batch_axis_parity():
+    """D1 compat (DEVIATIONS.md): CrossModule(attention_axis='batch') must
+    reproduce the reference's CrossModule bit-for-bit with imported weights —
+    including its batch-axis attention (sequence-first TransformerEncoder
+    feed) and sample-indexed positional encoding (cross_module.py:104-134).
+    This makes reference-checkpoint inference faithful end to end."""
+    from lib.model.cross_module import CrossModule as TorchCross
+
+    from vpho_tpu.models.heads import CrossModule
+
+    tmod = TorchCross(in_HW=8, hid_dim=512).eval()
+    randomize_(tmod)
+    model = CrossModule(hid_dim=512, attention_axis="batch")
+
+    rs = np.random.RandomState(3)
+    B = 3
+    xh = rs.randn(B, 8, 8, 256).astype(np.float32)
+    xo = rs.randn(B, 8, 8, 256).astype(np.float32)
+    g = rs.randn(B, 1, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(xh),
+                           jnp.asarray(xo), jnp.asarray(g))
+
+    sd = {f"cross_hand.{k}": v.numpy() for k, v in tmod.state_dict().items()}
+    wrap = {"params": {"cross_hand": variables["params"]},
+            "batch_stats": {}, "buffers": {}}
+    loaded_full, report = load_vpho_state_dict(wrap, sd)
+    assert not report["unconsumed"], report["unconsumed"]
+    loaded = {"params": loaded_full["params"]["cross_hand"]}
+
+    yh, yo, yg = model.apply(loaded, jnp.asarray(xh), jnp.asarray(xo),
+                             jnp.asarray(g))
+    with torch.no_grad():
+        th, to_, tg = tmod(
+            torch.from_numpy(np.ascontiguousarray(xh.transpose(0, 3, 1, 2))),
+            torch.from_numpy(np.ascontiguousarray(xo.transpose(0, 3, 1, 2))),
+            torch.from_numpy(g))
+    np.testing.assert_allclose(np.asarray(yh), th.numpy(), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yo), to_.numpy(), rtol=1e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(yg), tg.numpy(), rtol=1e-4, atol=2e-4)

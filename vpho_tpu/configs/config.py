@@ -136,6 +136,9 @@ class Config:
     # dominant-eigenvector solve inside quaternion averaging: eigh | power
     # (matrix-squaring subspace iteration; see utils/transforms.py)
     quat_mean_impl: str = "eigh"
+    # "batch" replicates the reference's batch-axis cross-module attention
+    # for faithful reference-checkpoint inference (DEVIATIONS.md D1)
+    cross_attention_axis: str = "tokens"
     num_devices: int = 0  # 0 = all visible
     mano_root: str = ""
     models_dir: str = ""
@@ -282,6 +285,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["float32", "bfloat16"])
     p.add_argument("--quat_mean_impl", type=str, default="eigh",
                    choices=["eigh", "power"])
+    p.add_argument("--cross_attention_axis", type=str, default="tokens",
+                   choices=["tokens", "batch"])
     p.add_argument("--num_devices", type=int, default=0)
     p.add_argument("--mano_root", type=str, default="")
     p.add_argument("--models_dir", type=str, default="")

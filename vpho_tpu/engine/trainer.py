@@ -209,7 +209,8 @@ class Trainer:
                                   cfg.models_dir or None)
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         self.model = VPHONet(roi_size=cfg.roi_size, heatmap_size=cfg.heatmap_size,
-                             compute_dtype=dtype)
+                             compute_dtype=dtype,
+                             cross_attention_axis=cfg.cross_attention_axis)
         self.mesh = make_mesh(cfg.num_devices or None)
         self.dataset = dataset
         self.eval_dataset = eval_dataset

@@ -17,10 +17,14 @@ Key structures kept bit-compatible with the reference:
     physics3/heatmap re-ranking switched per-sample by is_grasped (:1199-1287)
   * final per-finger physics re-rank of hand distal/tip levels (:537-626)
 
-Deliberate fixes (documented deviations):
-  * HandAggregator.select_by_physics queries nearest object vertices with the
-    normalized force DIRECTIONS (aggregation.py:571) — we use the force
-    POINTS as in the object ranker (:977), which is the clear intent.
+Execution parity: the whole module is pinned against the reference's OWN
+torch aggregation code running on identical inputs
+(tests/test_ref_aggregation_parity.py) — selections bit-identical, fused
+outputs within 5e-4.  The reference's select_by_physics computes a
+nearest-vertex moment term L it never uses in its score (:571-581); we skip
+that dead compute (DEVIATIONS.md D2/D5 — output-identical).  The object
+physics3 ranker's live moment-arm arithmetic is reproduced exactly, with
+the intent-correct variant behind ``arm_mode="surface"`` (D14).
 """
 from __future__ import annotations
 
@@ -350,9 +354,21 @@ def obj_topk_by_physics3(
     force_point: Array,     # (B, 32, 3)
     force_global: Array,    # (B, 32, 3)
     k: int,
+    arm_mode: str = "reference",
 ) -> tuple[Array, Array]:
     """Weighted force-point-to-surface distance x net-moment ranking
-    (select_topk_object_by_physics3, aggregation.py:947-997)."""
+    (select_topk_object_by_physics3, aggregation.py:947-997).
+
+    ``arm_mode`` selects the moment-arm formula for the net-moment factor L
+    (DEVIATIONS.md D14):
+      * 'reference' (default): the reference's own arithmetic — the arm is
+        ``(force_point - nearest_vertex) - CoM`` (nn_for_r_memory_save
+        returns x - nearest_y, aggregation.py:1128-1141, then ``r - CoM``
+        at :981).  Kept as the default because the published metrics were
+        selected with exactly this score.
+      * 'surface': the evident geometric intent — the arm from the CoM to
+        the contact point on the surface, ``nearest_vertex - CoM``.
+    """
     pose_cam = pose6d.at[..., 6:].add(root_joint[:, None])
     obj_verts = heads.object_transform(registry, pose_cam, obj_ids, "verts")
     obj_verts = heads.flip_pt3d(obj_verts, is_right)             # (B, N, 2048, 3)
@@ -363,12 +379,13 @@ def obj_topk_by_physics3(
     fweight = fnorm / (fnorm.sum(-1, keepdims=True) + 1e-12)
 
     fp = force_point[:, None]                                    # (B, 1, 32, 3)
-    dist, r = min_dist_and_nearest(
+    dist, near = min_dist_and_nearest(
         jnp.broadcast_to(fp, obj_verts.shape[:2] + (32, 3)), obj_verts
     )                                                            # (B, N, 32), (B, N, 32, 3)
     score = (dist * fweight[:, None]).sum(-1)                    # (B, N)
 
     fdir = force_global / (fnorm[..., None] + 1e-12)
+    r = (fp - near) if arm_mode == "reference" else near
     r = r - obj_com                                              # (B, N, 32, 3)
     L = jnp.linalg.norm(jnp.cross(fdir[:, None], r).sum(-2), axis=-1)  # (B, N)
     score = -(score * L)

@@ -142,6 +142,15 @@ class CrossModule(nn.Module):
     hid_dim: int = 512
     num_force: int = 32
     dtype: Any = None
+    # "tokens" (default): attention over the 65 tokens, positional encoding
+    # over token index — the deliberate fix (DEVIATIONS.md D1).
+    # "batch": bit-faithful replica of the reference's sequence-first feed
+    # (cross_module.py:104-134): torch's TransformerEncoder without
+    # batch_first treats (bs, 65, d) as (seq=bs, batch=65), so attention
+    # mixes SAMPLES at each token position and the positional table indexes
+    # the sample slot.  Needed to reproduce a reference-trained checkpoint's
+    # physics-cue inputs exactly (--cross_attention_axis batch).
+    attention_axis: str = "tokens"
 
     @nn.compact
     def __call__(self, x_hand, x_obj, gravity, train: bool = False):
@@ -160,11 +169,20 @@ class CrossModule(nn.Module):
         g = nn.Dense(self.hid_dim, kernel_init=kinit, bias_init=nn.initializers.zeros)(g)
 
         x = jnp.concatenate([tok_h, tok_o, g], axis=1)          # (B, 65, hid)
-        pe = sinusoid_table(x.shape[1], self.hid_dim, x.dtype)
-        x = x + pe[None].astype(x.dtype)
-        x = nn.Dropout(0.1, deterministic=not train)(x)
-        x = TransformerEncoderLayer(d_model=self.hid_dim, n_heads=2,
-                                    dtype=self.dtype)(x, train=train)
+        layer = TransformerEncoderLayer(d_model=self.hid_dim, n_heads=2,
+                                        dtype=self.dtype)
+        if self.attention_axis == "batch":
+            pe = sinusoid_table(B, self.hid_dim, x.dtype)       # pe[sample]
+            x = x + pe[:, None].astype(x.dtype)
+            x = nn.Dropout(0.1, deterministic=not train)(x)
+            x = jnp.swapaxes(x, 0, 1)                           # (65, B, hid)
+            x = layer(x, train=train)
+            x = jnp.swapaxes(x, 0, 1)
+        else:
+            pe = sinusoid_table(x.shape[1], self.hid_dim, x.dtype)
+            x = x + pe[None].astype(x.dtype)
+            x = nn.Dropout(0.1, deterministic=not train)(x)
+            x = layer(x, train=train)
         x = x.astype(jnp.float32)  # physics head consumes f32 tokens
         y_hand, y_obj, y_gravity = jnp.split(x, [self.num_force, 2 * self.num_force], axis=1)
         return y_hand, y_obj, y_gravity

@@ -125,6 +125,9 @@ class VPHONet(nn.Module):
     roi_size: int = 32
     heatmap_size: int = 64
     compute_dtype: Any = None
+    # "batch" replicates the reference's batch-axis attention for faithful
+    # reference-checkpoint inference (DEVIATIONS.md D1)
+    cross_attention_axis: str = "tokens"
 
     def setup(self):
         d = self.compute_dtype
@@ -134,8 +137,10 @@ class VPHONet(nn.Module):
         self.encoder_hand = Encoder(256, dtype=d)
         self.encoder_obj = Encoder(256, dtype=d)
         self.head_mano = heads.HeadMano()
-        self.cross_hand = heads.CrossModule(hid_dim=512, dtype=d)
-        self.cross_obj = heads.CrossModule(hid_dim=512, dtype=d)
+        self.cross_hand = heads.CrossModule(
+            hid_dim=512, dtype=d, attention_axis=self.cross_attention_axis)
+        self.cross_obj = heads.CrossModule(
+            hid_dim=512, dtype=d, attention_axis=self.cross_attention_axis)
         self.head_physics = heads.HeadPhysics(hid_dim=512)
         self.denoiser_hand = Denoiser(head="mano_pose", dtype=d)
         self.denoiser_obj = Denoiser(head="obj", dtype=d)

@@ -297,6 +297,8 @@ def load_vpho_state_dict(variables, state_dict, remove_keys=()):
         do(imp.linear, f"{tl}.linear2", *fl, "Dense_1")
         do(imp.layernorm, f"{tl}.norm1", *fl, "LayerNorm_0")
         do(imp.layernorm, f"{tl}.norm2", *fl, "LayerNorm_1")
+        # sinusoidal positional table: constant, rebuilt by sinusoid_table
+        imp.used.add(f"{t}.pose_embedder.pe")
 
     # -- head_physics (physics.py:648-721) --------------------------------
     for seq, fname in [("fc_scale", "fc_scale"), ("fc_weight", "fc_weight"),
