@@ -39,10 +39,13 @@ def main():
     B = int(os.environ.get("BENCH_BATCH", "16"))
     S = int(os.environ.get("BENCH_SAMPLES", "100"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    method = os.environ.get("BENCH_METHOD", "heun")
     cfg = ModelConfig(sample_num=S, sampling_steps=steps, topk_hand=30,
-                      topk_obj=10, patch_size=256)
+                      topk_obj=10, patch_size=256, compute_dtype=dtype_name,
+                      ode_method=method)
     ctx = V.make_context(cfg)
-    model = VPHONet()
+    model = VPHONet(compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16" else None)
     batch = make_batch(ctx, jax.random.PRNGKey(0), B, 256)
     variables = model.init(
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
@@ -53,13 +56,13 @@ def main():
 
     score_h = _score_fn(model, variables, ctx.sde, "hand", out["encoding_hand"], S)
     ode_h = jax.jit(lambda r: ode_sampler(score_h, r, B * S, 96, ctx.sde,
-                                          cfg.sample_T0, steps,
+                                          cfg.sample_T0, steps, method=method,
                                           return_trajectory=False)[1])
     final_h = timed("hand_ode", ode_h, jax.random.PRNGKey(3))
 
     score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
     ode_o = jax.jit(lambda r: ode_sampler(score_o, r, B * S, 9, ctx.sde,
-                                          cfg.sample_T0, steps,
+                                          cfg.sample_T0, steps, method=method,
                                           return_trajectory=False)[1])
     final_o = timed("obj_ode", ode_o, jax.random.PRNGKey(4))
 

@@ -603,7 +603,7 @@ def make_loader(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
             batch["_valid"] = valid
         return batch
 
-    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as ex:
         futures = [ex.submit(build, bi) for bi in range(min(n, 4))]
         next_bi = min(n, 4)
         for _ in range(n):

@@ -43,10 +43,24 @@ HO3D_OBJ_TO_YCB = {
 
 
 class HO3DForceDataset:
-    def __init__(self, cfg: Config, data_dir: str, is_train: bool):
+    """HO3D v2 splits mirror the reference's three dataset classes
+    (ho3d3.py:421-494):
+
+      * ``split='train'`` — HO3DDatasetForce_Train: full train split,
+        ``get_train_item`` (GT hand + object, aug)
+      * ``split='valid'`` — HO3DDatasetForce_Valid: every 10th train frame,
+        ``get_train_item`` without aug (the with-GT sub-eval)
+      * ``split='test'``  — HO3DDatasetForce_Test: the evaluation split in
+        ``evaluation.txt`` order (codalab submission order!), no hand GT —
+        ``get_eval_item`` (ho3d3.py:306-420)
+    """
+
+    def __init__(self, cfg: Config, data_dir: str, split: str = "train"):
+        assert split in ("train", "valid", "test"), split
         self.cfg = cfg
         self.data_dir = data_dir
-        self.is_train = is_train
+        self.split = split
+        self.is_train = split == "train"
         self.registry = load_registry(cfg.models_dir or None)
         from .dexycb import _fk_fn
 
@@ -59,7 +73,25 @@ class HO3DForceDataset:
         self._warned = set()
 
     def _load_samples(self) -> List[str]:
-        split = "train" if self.is_train else "evaluation"
+        if self.split == "test":
+            # evaluation.txt fixes the codalab frame order
+            # (HO3DDatasetForce_Test.load_samples, ho3d3.py:468-479)
+            txt = os.path.join(self.data_dir, "evaluation.txt")
+            if os.path.exists(txt):
+                index = []
+                with open(txt) as f:
+                    for line in f:
+                        seq, frame = line.strip().split("/")
+                        index.append(os.path.join(
+                            self.data_dir, "evaluation", seq, "meta", frame))
+                return index
+            return self._list_split("evaluation")
+        index = self._list_split("train")
+        if self.split == "valid":
+            index = index[::10]  # ho3d3.py:447
+        return index
+
+    def _list_split(self, split: str) -> List[str]:
         split_dir = os.path.join(self.data_dir, split)
         index = []
         if not os.path.isdir(split_dir):
@@ -70,6 +102,9 @@ class HO3DForceDataset:
                 for anno in sorted(os.listdir(meta_dir)):
                     index.append(os.path.join(meta_dir, os.path.splitext(anno)[0]))
         return index
+
+    def get_path(self, index: int) -> str:
+        return self.index_ls[index].replace("meta", "rgb") + ".png"
 
     @staticmethod
     def _load_json(path):
@@ -113,6 +148,11 @@ class HO3DForceDataset:
         return len(self.index_ls)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
+        if self.split == "test":
+            return self.get_eval_item(index)
+        return self.get_train_item(index)
+
+    def get_train_item(self, index: int) -> Dict[str, np.ndarray]:
         sample_path = self.index_ls[index]
         with open(sample_path + ".pkl", "rb") as f:
             sample = pickle.load(f)
@@ -240,20 +280,112 @@ class HO3DForceDataset:
         }
 
 
-def dump_codalab(pred_joints: np.ndarray, pred_verts: np.ndarray, out_dir: str):
-    """HO3D codalab submission: pred.json with joint + vert lists, zipped
-    (train_diff_hand_obj.py:416-435 output format)."""
+    def get_eval_item(self, index: int) -> Dict[str, np.ndarray]:
+        """Evaluation-split item (ho3d3.py:306-420): NO hand GT — the split
+        publishes only the wrist joint + a hand bounding box; object pose IS
+        annotated.  Crop framing uses the published hand bbox corners (not
+        projected joints), expansion 1.2 hand / 1.00 object, no augmentation."""
+        sample_path = self.index_ls[index]
+        with open(sample_path + ".pkl", "rb") as f:
+            sample = pickle.load(f)
+        rgb_path = sample_path.replace("meta", "rgb") + ".png"
+        rgb = cv2.imread(rgb_path)[..., ::-1].copy()
+        K = np.asarray(sample["camMat"], np.float32)
+        P = self.cfg.patch_size
+
+        root = (np.asarray(sample["handJoints3D"], np.float64).reshape(3)
+                @ OPENGL_TO_OPENCV.T).astype(np.float32)
+        bbox_hand = np.asarray(sample["handBoundingBox"], np.float32)
+
+        obj_name = sample["objName"]
+        obj_id = HO3D_OBJ_TO_YCB.get(obj_name, YCB_ID.get(obj_name, 1)) - 1
+        obj_rot = OPENGL_TO_OPENCV @ _aa_to_mat(
+            np.asarray(sample["objRot"], np.float64).reshape(3))
+        obj_trans = OPENGL_TO_OPENCV @ np.asarray(
+            sample["objTrans"], np.float64).reshape(3)
+        obj_rt = np.concatenate([obj_rot, obj_trans[:, None]], axis=1).astype(np.float32)
+        kpt3d = np.asarray(self.registry.kpt3d[obj_id]) @ obj_rt[:3, :3].T + obj_rt[:3, 3]
+        kpt2d = kpt3d @ K.T
+        kpt2d = kpt2d[:, :2] / kpt2d[:, 2:]
+
+        from .dexycb import DexYCBForceDataset
+
+        helper = DexYCBForceDataset.__new__(DexYCBForceDataset)
+        helper.cfg = self.cfg
+        # bbox corners stand in for hand joints in the crop-framing loop
+        # (bx2d2_to_bx2d4, ho3d3.py:338)
+        x1, y1, x2, y2 = bbox_hand
+        corners = np.array([[x1, y1], [x2, y1], [x1, y2], [x2, y2]], np.float32)
+        center_jit, scale, rot = np.zeros(2), 1.0, 0.0  # eval: no aug
+        for _ in range(100):
+            R3, A2, K_crop = helper._augmentation_rotmat(
+                center_jit, scale, rot, corners, kpt2d, K)
+            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
+            c2 = corners @ A2[:2, :2].T + A2[:2, 2]
+            _kpt2d2 = kpt2d @ A2[:2, :2].T + A2[:2, 2]
+            bb_hand = expand_bbox(pt2d_to_bbox(c2), 1.2)       # ho3d3.py:344
+            bbox_hand_rect = rectangularize(bb_hand)
+            bbox_obj = expand_bbox(pt2d_to_bbox(_kpt2d2), 1.0)  # :347
+            bbox_obj_rect = rectangularize(bbox_obj)
+            if bbox_in_image(bbox_hand_rect, P) and bbox_in_image(bbox_obj_rect, P):
+                break
+            scale *= 1.01
+        kpt2d_c = _kpt2d2
+
+        # R3 is identity at eval (no rotation aug) but applied for parity
+        obj_rt[:3, :3] = R3 @ obj_rt[:3, :3]
+        obj_rt[:3, 3] = R3 @ obj_rt[:3, 3]
+        root = (R3 @ root.astype(np.float64)).astype(np.float32)
+
+        hm_obj = square_bbox_heatmap_np(
+            kpt2d_c, bbox_obj_rect, self.cfg.heatmap_size,
+            self.cfg.heatmap_obj_sigma, True)
+        rgb_norm = normalize_rgb(patch)
+
+        rel_t = obj_rt[:3, 3] - root
+        gt_obj = np.concatenate([_mat_to_rot6d(obj_rt[:3, :3]), rel_t]).astype(np.float32)
+
+        return {
+            "index": np.int32(index),
+            "is_ho3d": True,
+            "rgb": rgb_norm.astype(np.float32),
+            "root_joint": root,
+            "root_joint_flip": root,
+            "bbox_hand": bb_hand.astype(np.float32),
+            "bbox_obj": bbox_obj.astype(np.float32),
+            "bbox_hand_rect": bbox_hand_rect.astype(np.float32),
+            "bbox_obj_rect": bbox_obj_rect.astype(np.float32),
+            "hm_obj": hm_obj.astype(np.float32),
+            "is_right": True,
+            "gt_obj": gt_obj,
+            "gt_obj_rt": obj_rt[:3].astype(np.float32),
+            "obj_id": np.int32(obj_id),
+            "cam_intr": K,
+            "cam_intr_crop": K_crop.astype(np.float32),
+            "cam_intr_crop_flip": K_crop.astype(np.float32),
+            "gravity": np.zeros((1, 3), np.float32),      # ho3d3.py:411
+            "obj_CoM": np.zeros((1, 3), np.float32),
+            "is_grasped": np.float32(self.get_is_grasped(sample_path)),
+            "force_local": np.zeros((32, 3), np.float32),
+        }
+
+
+def dump_codalab(pred_joints, pred_verts, out_path: str) -> str:
+    """One codalab submission zip (train_diff_hand_obj.py:872-880 `dump` +
+    the zip/rm sequence at :430-435): ``[joints, verts]`` rounded to 6
+    decimals in a json, zipped flat, json removed."""
     import zipfile
 
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     payload = [
-        [j.tolist() for j in pred_joints],
-        [v.tolist() for v in pred_verts],
+        [np.around(np.asarray(j, np.float64), 6).tolist() for j in pred_joints],
+        [np.around(np.asarray(v, np.float64), 6).tolist() for v in pred_verts],
     ]
-    json_path = os.path.join(out_dir, "pred.json")
+    json_path = out_path if out_path.endswith(".json") else out_path + ".json"
     with open(json_path, "w") as f:
         json.dump(payload, f)
-    zip_path = os.path.join(out_dir, "pred.zip")
+    zip_path = json_path[: -len(".json")] + ".zip"
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as z:
-        z.write(json_path, "pred.json")
+        z.write(json_path, os.path.basename(json_path))
+    os.remove(json_path)
     return zip_path

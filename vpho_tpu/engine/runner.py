@@ -51,6 +51,9 @@ def synthetic_stream(ctx, cfg: Config, n_batches: int, batch_size: int,
 
 
 def _has_real_data(cfg: Config) -> bool:
+    if cfg.dataset_name == "ho3d":
+        return os.path.exists(os.path.join(cfg.data_dir, "evaluation.txt")) or \
+            os.path.isdir(os.path.join(cfg.data_dir, "train"))
     return os.path.isdir(os.path.join(cfg.data_dir, "20200709-subject-01")) or \
         os.path.exists(os.path.join(cfg.data_dir, "dex_ycb_s0_train_data.json"))
 
@@ -86,7 +89,30 @@ def run(cfg: Config):
                     "nowhere in the reference (args.py:195, zero readers); "
                     "use --sample_num to set eval hypothesis count")
 
-    if _has_real_data(cfg):
+    if _has_real_data(cfg) and cfg.dataset_name == "ho3d":
+        # HO3D: train on the train split, sub-eval (with GT) on every 10th
+        # train frame, codalab infer on the evaluation split
+        # (ho3d3.py:421-494 dataset trio)
+        from ..data.dexycb import make_loader
+        from ..data.ho3d import HO3DForceDataset
+
+        train_ds = HO3DForceDataset(cfg, cfg.data_dir, split="train")
+        valid_ds = HO3DForceDataset(cfg, cfg.data_dir, split="valid")
+        test_ds = HO3DForceDataset(cfg, cfg.data_dir, split="test")
+        # eval_dataset (-> infer_ho3d paths) is the codalab test split; the
+        # metric eval runs over valid_ds, whose paths differ
+        trainer.dataset, trainer.eval_dataset = train_ds, test_ds
+        metric_path_of = valid_ds.get_path
+        steps_per_epoch = max(1, len(train_ds) // cfg.batch_size)
+        first = next(make_loader(train_ds, cfg.batch_size, shuffle=False, num_batches=1))
+        get_train = lambda ep: make_loader(train_ds, cfg.batch_size, shuffle=True, seed=ep)
+        # full=True -> the GT-less evaluation split (consumed by infer_ho3d);
+        # full=False -> the with-GT valid split (consumed by evaluate)
+        get_eval = lambda full: make_loader(
+            test_ds if full else valid_ds, cfg.eval_batch_size, shuffle=False,
+            drop_last=False)
+    elif _has_real_data(cfg):
+        metric_path_of = None  # falls back to eval_dataset.get_path
         from ..data.dexycb import DexYCBForceDataset, make_loader
 
         train_ds = DexYCBForceDataset(cfg, cfg.data_dir, is_train=True)
@@ -103,6 +129,7 @@ def run(cfg: Config):
             test_ds, cfg.eval_batch_size, shuffle=False,
             subsample=1 if full else 10, drop_last=False)
     else:
+        metric_path_of = None
         log.warning("No real DexYCB found under %s — using the synthetic "
                     "fixture stream", cfg.data_dir)
         steps_per_epoch = 8
@@ -117,7 +144,7 @@ def run(cfg: Config):
 
     if cfg.mode == "train":
         if cfg.start_with_eval:
-            trainer.evaluate(get_eval(False))
+            trainer.evaluate(get_eval(False), path_of=metric_path_of)
         for epoch in range(trainer.start_epoch, cfg.max_epochs):
             log.info(f"Epoch {epoch}/{cfg.max_epochs}")
             trainer.train_one_epoch(epoch, get_train(epoch), steps_per_epoch)
@@ -126,15 +153,18 @@ def run(cfg: Config):
             # every full_evaluation_freq epochs, with the sub-eval only when
             # mixing trainsets (train_diff_hand_obj.py:145-152)
             if cfg.dataset_name != "ho3d":
-                trainer.evaluate(get_eval(False))
+                trainer.evaluate(get_eval(False), path_of=metric_path_of)
             elif (epoch + 1) % cfg.full_evaluation_freq == 0:
                 if cfg.use_mix_trainset:
-                    trainer.evaluate(get_eval(False))
-                out = trainer.evaluate(get_eval(True))
-                trainer.dump_predictions(out["collector_res"], tag=f"-ep{epoch+1}")
+                    trainer.evaluate(get_eval(False), path_of=metric_path_of)
+                trainer.infer_ho3d(get_eval(True), epoch_tag=f"ep{epoch+1}_")
             trainer.save_model()
     elif cfg.mode == "eval":
-        out = trainer.evaluate(get_eval(cfg.eval_full))
+        # HO3D's evaluation split has no hand GT: metric eval runs on the
+        # with-GT valid split (reference eval mode wires the Valid dataset,
+        # ho3d3.py:436-450); use --mode infer for the codalab run
+        full = cfg.eval_full and cfg.dataset_name != "ho3d"
+        out = trainer.evaluate(get_eval(full), path_of=metric_path_of)
         trainer.dump_predictions(out["collector_res"])
     elif cfg.mode == "infer_candidate":
         # the reference names this mode but its Trainer never defines the
@@ -142,19 +172,13 @@ def run(cfg: Config):
         # dump the raw diffusion candidate sets over the full test split
         trainer.infer_candidates(get_eval(True))
     elif cfg.mode == "infer":
-        out = trainer.evaluate(get_eval(True))
-        trainer.dump_predictions(out["collector_res"], tag="-infer")
         if cfg.dataset_name == "ho3d":
-            # codalab submission zip (train_diff_hand_obj.py:416-435)
-            from ..data.ho3d import dump_codalab
-
-            joints = np.concatenate(
-                [r["pd_hand_joint"] for r in out["collector_res"]], axis=0)
-            verts = np.concatenate(
-                [np.asarray(r["pd_hand_vert"], np.float32)
-                 for r in out["collector_res"]], axis=0)
-            zip_path = dump_codalab(joints, verts, trainer.save_dir)
-            log.info(f"codalab submission: {zip_path}")
+            # object metrics + codalab hand_reg/hand_diff zips + pkl
+            # (Trainer.infer, train_diff_hand_obj.py:360-444)
+            trainer.infer_ho3d(get_eval(True))
+        else:
+            out = trainer.evaluate(get_eval(True))
+            trainer.dump_predictions(out["collector_res"], tag="-infer")
     else:
         raise ValueError(f"Invalid mode: {cfg.mode}")  # main.py:21-22 parity
     return trainer

@@ -644,6 +644,127 @@ class Trainer:
         self.logger.info(f"Dumped candidates: {path}")
         return path
 
+    def infer_ho3d(self, batches: Iterable[Dict[str, Any]], path_of=None,
+                   epoch_tag: str = "") -> Dict[str, Any]:
+        """HO3D codalab inference (Trainer.infer, train_diff_hand_obj.py:
+        360-444): the evaluation split has NO hand GT, so only object
+        metrics are computed (pose annotations exist); hand predictions are
+        rotated back to the OpenGL frame and dumped as TWO codalab zips —
+        ``<save_dir>/submit/<tag>hand_reg.zip`` (regression branch) and
+        ``<tag>hand_diff.zip`` (aggregated diffusion branch) — in the
+        evaluation.txt frame order, plus the my-prediction pkl."""
+        from ..data.ho3d import OPENGL_TO_OPENCV, dump_codalab
+        from ..parallel.mesh import (allgather_rows, host_local_indices,
+                                     host_local_rows as L)
+
+        path_of = path_of or (getattr(self.eval_dataset, "get_path", None)
+                              if self.eval_dataset is not None else None)
+        if self._predict_step is None:
+            self._predict_step = make_predict_step(self.model, self.ctx)
+        rng = jax.random.PRNGKey(128)
+        testers_obj = {k: TesterObject(self.ctx.registry)
+                       for k in ("one_candidate", "mean_candidate_pose")}
+        GL = np.asarray(OPENGL_TO_OPENCV, np.float32)
+
+        rows = []
+        for i, batch in enumerate(batches):
+            valid = batch.pop("_valid", None)
+            index = batch.pop("_index", None)
+            n = next(iter(batch.values())).shape[0]
+            m = self.mesh.size
+            if n % m:
+                target = -(-n // m) * m
+                batch, pad_valid = pad_batch_to(batch, target)
+                valid = pad_valid if valid is None else np.concatenate(
+                    [np.asarray(valid), np.zeros(target - n, bool)])
+                if index is not None:
+                    index = np.concatenate(
+                        [np.asarray(index), np.full(target - n, -1)])
+            jbatch = shard_batch(batch, self.mesh)
+            pd = self._predict_step(self.state, jbatch, jax.random.fold_in(rng, i))
+
+            root = jbatch["root_joint"]
+            is_right = jbatch["is_right"]
+            pd_vert_reg = postprocess_hand_vert(pd["reg_hand_vert"], root, is_right)
+            pd_joint_reg = postprocess_hand_vert(pd["reg_hand_joint"], root, is_right)
+            pd_vert_agg = postprocess_hand_vert(pd["agg_hand_vert"], root, is_right)
+            pd_joint_agg = postprocess_hand_vert(pd["agg_hand_joint"], root, is_right)
+            pd_rt_one = postprocess_obj_rt(pd["diff_final_obj_6d"][:, 0], root)
+            pd_rt_agg = postprocess_obj_rt(pd["agg_obj_6d"], root)
+
+            n_rows = int(pd_rt_agg.shape[0])
+            own = host_local_indices(pd_rt_agg, n_rows)
+            valid_own = (np.asarray(valid)[own] if valid is not None
+                         else np.ones(own.shape[0], bool))
+            index_own = (np.asarray(index)[own] if index is not None
+                         else np.full(own.shape[0], -1))
+            gt_rt_l = L(jbatch["gt_obj_rt"])
+            obj_id_l = L(jbatch["obj_id"])
+            cam_l = L(jbatch["cam_intr"])
+            testers_obj["one_candidate"].add_batch(
+                L(pd_rt_one), gt_rt_l, obj_id_l, cam_l, valid_own)
+            testers_obj["mean_candidate_pose"].add_batch(
+                L(pd_rt_agg), gt_rt_l, obj_id_l, cam_l, valid_own)
+            rows.append({
+                "pd_obj_rt": L(pd_rt_agg),
+                "pd_hand_vert": np.asarray(L(pd_vert_agg), np.float16),
+                "pd_hand_joint": np.asarray(L(pd_joint_agg)),
+                # codalab wants the OpenGL frame back (:387-391)
+                "joint_reg_gl": np.asarray(L(pd_joint_reg)) @ GL,
+                "vert_reg_gl": np.asarray(L(pd_vert_reg), np.float32) @ GL,
+                "joint_diff_gl": np.asarray(L(pd_joint_agg)) @ GL,
+                "vert_diff_gl": np.asarray(L(pd_vert_agg), np.float32) @ GL,
+                "_valid": valid_own,
+                "_index": index_own,
+            })
+
+        for t in testers_obj.values():
+            t.gather_rows()
+        rows = allgather_rows(rows)
+        filtered = []
+        for r in rows:
+            keep = np.asarray(r.pop("_valid"), bool)
+            idx = np.asarray(r.pop("_index"))[keep]
+            row = {k: np.asarray(v)[keep] for k, v in r.items()}
+            row["index"] = idx
+            if (idx >= 0).all() and path_of is not None:
+                row["path"] = [path_of(int(j)) for j in idx]
+            filtered.append(row)
+
+        # codalab lists in dataset (evaluation.txt) order (:421-428)
+        order_idx = np.concatenate([r["index"] for r in filtered])
+        order = np.argsort(order_idx, kind="stable")
+
+        def cat(key):
+            return np.concatenate([r[key] for r in filtered], axis=0)[order]
+
+        submit = os.path.join(self.save_dir, "submit")
+        zips = {
+            "hand_reg": dump_codalab(
+                cat("joint_reg_gl"), cat("vert_reg_gl"),
+                os.path.join(submit, f"{epoch_tag}hand_reg")),
+            "hand_diff": dump_codalab(
+                cat("joint_diff_gl"), cat("vert_diff_gl"),
+                os.path.join(submit, f"{epoch_tag}hand_diff")),
+        }
+        for name, p in zips.items():
+            self.logger.info(f"codalab {name}: {p}")
+
+        report = {k: t.report() for k, t in testers_obj.items()}
+        for variant, table in report.items():
+            self.logger.info(f"object/{variant}:")
+            try:
+                import pandas as pd_
+
+                self.logger.info("\n" + pd_.DataFrame(table).T.to_string())
+            except Exception:
+                self.logger.info(str(table))
+        keep_keys = ["pd_obj_rt", "pd_hand_vert", "pd_hand_joint", "index", "path"]
+        collector_res = [{k: r[k] for k in keep_keys if k in r} for r in filtered]
+        self.dump_predictions(collector_res, tag=f"-infer{epoch_tag}")
+        return {"report": {"object": report}, "collector_res": collector_res,
+                "zips": zips}
+
 
 @dataclasses.dataclass
 class _StatePayload:
