@@ -27,6 +27,21 @@ def main():
                          cfg.models_dir or None)
     optimizer = ForceOptimizer(cfg, ctx.anchor_tables, ctx.registry)
 
+    if cfg.dataset_name == "ho3d" and os.path.isdir(os.path.join(cfg.data_dir, "train")):
+        # HO3D labeling: train split, no aug, contact computed per item
+        # (the reference intends this path — force_optimization.py:12-13
+        # imports a ho3d dataset module missing from the published tree)
+        from vpho_tpu.data.dexycb import make_loader
+        from vpho_tpu.data.ho3d import HO3DForceDataset
+
+        ds = HO3DForceDataset(cfg, cfg.data_dir, split="train")
+        ds.is_train = False  # no augmentation during labeling (:55)
+        for bi, batch in enumerate(make_loader(ds, cfg.batch_size)):
+            paths = [ds.get_path(int(i)) for i in batch["index"]]
+            result = optimizer.run_batch(batch)
+            ForceOptimizer.save_force(result, paths, "ho3d")
+            print(f"batch {bi}: losses={result['losses']}")
+        return
     data_ok = os.path.exists(os.path.join(cfg.data_dir, "dex_ycb_s0_train_data.json"))
     if data_ok:
         from vpho_tpu.data.dexycb import DexYCBForceDataset, make_loader

@@ -158,6 +158,35 @@ class TestTrainItem:
             b = item[k]
             assert (b[:2] >= 0).all() and (b[2:] <= P).all(), (k, b)
 
+    def test_contact_derived_is_grasped(self, mini_ho3d, cfg):
+        """Train items compute contact + pool to anchors + derive is_grasped
+        from it (ho3d3.py:155-166) — NOT from the is_off_desk asset."""
+        from vpho_tpu.models import anchor as anchor_lib
+
+        root, _ = mini_ho3d
+        ds = H.HO3DForceDataset(cfg, root, split="valid")
+        item = ds[0]
+        fc = item["force_contact"]
+        assert fc.shape == (32,) and fc.dtype == np.float32
+        assert (fc >= 0).all() and (fc <= 1 + 1e-6).all()
+        assert float(item["is_grasped"]) == float(
+            anchor_lib.check_is_grasped_np(fc))
+
+    def test_force_cache_roundtrip(self, mini_ho3d, cfg):
+        """save_force (ho3d branch) writes where HO3D get_force reads."""
+        from vpho_tpu.engine.force_optim import ForceOptimizer
+
+        root, _ = mini_ho3d
+        ds = H.HO3DForceDataset(cfg, root, split="train")
+        rng = np.random.RandomState(0)
+        result = {"force_local": rng.randn(1, 32, 3).astype(np.float32),
+                  "force_global": rng.randn(1, 32, 3).astype(np.float32)}
+        ForceOptimizer.save_force(result, [ds.get_path(2)], "ho3d")
+        got = ds.get_force(ds.get_path(2))
+        np.testing.assert_array_equal(got, result["force_local"][0])
+        # untouched frames still fall back to zeros
+        assert (ds.get_force(ds.get_path(3)) == 0).all()
+
 
 class TestEvalItem:
     def test_contract(self, mini_ho3d, cfg):

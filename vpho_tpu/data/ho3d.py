@@ -29,7 +29,8 @@ from ..models.ycb import YCB_ID, load_registry
 from ..ops.heatmap import adaptive_bbox_heatmap_np, square_bbox_heatmap_np
 from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
 from .dexycb import (_aa_to_mat, _mat_to_aa, _mat_to_rot6d, bbox_in_image,
-                     expand_bbox, get_hand_vert, pt2d_to_bbox, rectangularize)
+                     expand_bbox, get_hand_vert, pt2d_to_bbox, rectangularize,
+                     signed_contact_weights)
 
 OPENGL_TO_OPENCV = np.array([[1, 0, 0], [0, -1, 0], [0, 0, -1]], np.float64)
 
@@ -133,6 +134,18 @@ class HO3DForceDataset:
                 return 1.0
         return 1.0
 
+    def get_contact(self, hand_vert: np.ndarray, obj_id: int,
+                    obj_rt: np.ndarray) -> np.ndarray:
+        """Per-hand-vertex contact vs the full object mesh — identical
+        formula to the DexYCB path (the reference's HO3D items call the same
+        shared ``get_hand_contact``, ho3d3.py:155-164 -> base.py:841-911)."""
+        verts = np.asarray(self.registry.verts_full[obj_id])
+        obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
+        lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
+        vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
+        return signed_contact_weights(hand_vert, self.mano_r.faces, obj_cam,
+                                      lo=lo, hi=hi, tangential_thresh=vthresh)
+
     def get_force(self, rgb_path: str) -> np.ndarray:
         p = rgb_path.replace("HO3D_v2/", "HO3D_v2/cache/hand_force/") \
                     .replace(".png", ".pkl").replace("rgb/", "hand_force/")
@@ -188,7 +201,11 @@ class HO3DForceDataset:
         obj_com = np.asarray(self.registry.com[obj_id]) @ obj_rt[:3, :3].T + obj_rt[:3, 3]
 
         gravity = self.get_gravity(sample_path)
-        is_grasped = self.get_is_grasped(sample_path)
+        # train items derive is_grasped from the computed contact (ho3d3.py:
+        # 155-166) — the is_off_desk asset is consulted only by eval items
+        contact = self.get_contact(vert3d, obj_id, obj_rt)
+        force_contact = anchor_lib.pool_contact_to_anchors_np(self.tables, contact)
+        is_grasped = float(anchor_lib.check_is_grasped_np(force_contact))
         force_local = self.get_force(rgb_path)
 
         # reuse the DexYCB spatial pipeline (crop/aug/heatmaps)
@@ -276,6 +293,7 @@ class HO3DForceDataset:
             "gravity": gravity.astype(np.float32),
             "obj_CoM": (obj_com - root)[None].astype(np.float32),
             "is_grasped": np.float32(is_grasped),
+            "force_contact": force_contact.astype(np.float32),
             "force_local": force_local,
         }
 
