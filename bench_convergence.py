@@ -42,10 +42,14 @@ def main():
     every = int(os.environ.get("CONV_EVAL_EVERY", "100"))
     patch = int(os.environ.get("CONV_PATCH", "128"))
 
+    dtype_name = os.environ.get("CONV_DTYPE", "float32")
+
     cfg = Config(batch_size=B, sampling_steps=10, sample_num=20, repeat_num=4,
-                 patch_size=patch, topk_hand=5, topk_obj=5, num_workers=0)
+                 patch_size=patch, topk_hand=5, topk_obj=5, num_workers=0,
+                 compute_dtype=dtype_name)
     ctx = V.make_context(cfg.to_model_config())
-    model = VPHONet()
+    model = VPHONet(compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16"
+                    else None)
 
     train_key = jax.random.PRNGKey(11)
     eval_batch = make_batch(ctx, jax.random.PRNGKey(999), B, patch, signal=True)
@@ -100,7 +104,9 @@ def main():
     bf16_model = VPHONet(compute_dtype=jnp.bfloat16)
     predict16 = make_predict_step(bf16_model, ctx)
     pd16 = predict16(state, eval_batch, jax.random.PRNGKey(5))
-    pd32 = predict(state, eval_batch, jax.random.PRNGKey(5))
+    predict32 = (predict if dtype_name == "float32"
+                 else make_predict_step(VPHONet(), ctx))
+    pd32 = predict32(state, eval_batch, jax.random.PRNGKey(5))
     root, is_right = eval_batch["root_joint"], eval_batch["is_right"]
     gt_j = np.asarray(postprocess_hand_vert(
         eval_batch["gt_hand_jt3d_flip"], root, is_right))

@@ -15,6 +15,7 @@ from vpho_tpu.utils.platform import honor_jax_platforms_env
 honor_jax_platforms_env()
 
 import jax
+import jax.numpy as jnp
 
 from vpho_tpu.configs.config import Config
 from vpho_tpu.data.fixtures import make_batch
@@ -25,9 +26,12 @@ from vpho_tpu.models.vpho import VPHONet
 
 def main():
     bs = int(os.environ.get("BENCH_BATCH", "64"))
-    cfg = Config(batch_size=bs, repeat_num=20, patch_size=256)
+    dtype_name = os.environ.get("BENCH_DTYPE", "float32")
+    cfg = Config(batch_size=bs, repeat_num=20, patch_size=256,
+                 compute_dtype=dtype_name)
     ctx = V.make_context(cfg.to_model_config())
-    model = VPHONet()
+    model = VPHONet(compute_dtype=jnp.bfloat16 if dtype_name == "bfloat16"
+                    else None)
     batch = make_batch(ctx, jax.random.PRNGKey(0), bs, 256)
     state = create_train_state(model, ctx, cfg, batch, steps_per_epoch=100,
                                rng=jax.random.PRNGKey(206))
