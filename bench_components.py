@@ -22,12 +22,18 @@ from vpho_tpu.models.mano import hand_verts_meters
 
 
 def timed(name, fn, *args, iters=5):
-    out = fn(*args)
+    """Median wall ms; ``fn``'s last parameter must be a seed scalar.
+
+    Each timed call gets a DISTINCT seed: the axon tunnel short-circuits
+    re-executions with bit-identical arguments (measured 0.22 ms for a
+    1.7 TFLOP grad), so repeating the same args times nothing.
+    """
+    out = fn(*args, jnp.float32(0))
     jax.block_until_ready(out)
     ts = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = fn(*args, jnp.float32(1 + i))
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
     ts.sort()
@@ -51,26 +57,32 @@ def main():
         {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
         batch, False)
 
-    trunk = jax.jit(lambda v, b: model.apply(v, b, False, method=VPHONet.trunk))
+    trunk = jax.jit(lambda v, b, s: model.apply(
+        v, dict(b, rgb=b["rgb"] + (s * 1e-3).astype(b["rgb"].dtype)),
+        False, method=VPHONet.trunk))
     out = timed("trunk", trunk, variables, batch)
 
     score_h = _score_fn(model, variables, ctx.sde, "hand", out["encoding_hand"], S)
-    ode_h = jax.jit(lambda r: ode_sampler(score_h, r, B * S, 96, ctx.sde,
-                                          cfg.sample_T0, steps, method=method,
-                                          return_trajectory=False)[1])
+    ode_h = jax.jit(lambda r, s: ode_sampler(score_h, jax.random.fold_in(r, s.astype(jnp.int32)),
+                                             B * S, 96, ctx.sde,
+                                             cfg.sample_T0, steps, method=method,
+                                             return_trajectory=False)[1])
     final_h = timed("hand_ode", ode_h, jax.random.PRNGKey(3))
 
     score_o = _score_fn(model, variables, ctx.sde, "obj", out["encoding_obj"], S)
-    ode_o = jax.jit(lambda r: ode_sampler(score_o, r, B * S, 9, ctx.sde,
-                                          cfg.sample_T0, steps, method=method,
-                                          return_trajectory=False)[1])
+    ode_o = jax.jit(lambda r, s: ode_sampler(score_o, jax.random.fold_in(r, s.astype(jnp.int32)),
+                                             B * S, 9, ctx.sde,
+                                             cfg.sample_T0, steps, method=method,
+                                             return_trajectory=False)[1])
     final_o = timed("obj_ode", ode_o, jax.random.PRNGKey(4))
 
     hand_mano = postprocess_diffusion_hand(final_h, out["pd_mano_shape"], S)
-    fk = jax.jit(lambda hm: hand_verts_meters(ctx.mano, hm[..., :48], hm[..., 48:]))
+    fk = jax.jit(lambda hm, s: hand_verts_meters(
+        ctx.mano, hm[..., :48] + (s * 1e-6).astype(hm.dtype), hm[..., 48:]))
     timed("fk_all_hypotheses", fk, hand_mano)
 
-    def run_agg(hm, fo):
+    def run_agg(hm, fo, s):
+        hm = hm + (s * 1e-6).astype(hm.dtype)
         return agg.hoi_aggregate(
             ctx.mano, ctx.registry, ctx.anchor_tables,
             cam_intrinsic=batch["cam_intr_crop_flip"],
