@@ -32,6 +32,9 @@ import jax
 import jax.numpy as jnp
 
 from vpho_tpu.data.fixtures import make_batch
+from vpho_tpu.utils import transforms as T_mod
+
+T_mod.QUAT_MEAN_IMPL = os.environ.get("BENCH_QUAT", T_mod.QUAT_MEAN_IMPL)
 from vpho_tpu.diffusion.sampler import ode_sampler
 from vpho_tpu.models import aggregation as agg
 from vpho_tpu.models import anchor as anchor_lib
@@ -43,6 +46,9 @@ from vpho_tpu.models.vpho import (ModelConfig, VPHONet, _score_fn,
 
 
 def timed(name, fn, *args, iters=7):
+    only = os.environ.get("BENCH_STAGES", "")
+    if only and name not in only.split(","):
+        return None
     out = fn(*args, jnp.float32(0))
     jax.block_until_ready(out)
     ts = []

@@ -7,27 +7,9 @@ Usage mirrors the reference:
 
 With no real DexYCB under --data_dir, a synthetic fixture stream is used so
 the full pipeline (train step, eval metrics, pkl dumps) still runs
-end-to-end.
+end-to-end.  Installed form: the ``vpho`` console script (vpho_tpu/cli.py).
 """
-import os
-import sys
-
-from vpho_tpu.utils.platform import honor_jax_platforms_env
-
-honor_jax_platforms_env()
-
-from vpho_tpu.configs.config import get_config  # noqa: E402
-
-
-def main():
-    cfg = get_config()
-    from vpho_tpu.engine.runner import run
-
-    # full mode surface of the reference dispatch (main.py:10-22 there);
-    # runner.run handles each, incl. the loud NotImplementedError for
-    # 'energy' (dead in the reference too)
-    run(cfg)
-
+from vpho_tpu.cli import train_eval_main as main
 
 if __name__ == "__main__":
     main()

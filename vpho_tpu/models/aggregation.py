@@ -370,22 +370,40 @@ def obj_topk_by_physics3(
         the contact point on the surface, ``nearest_vertex - CoM``.
     """
     pose_cam = pose6d.at[..., 6:].add(root_joint[:, None])
-    obj_verts = heads.object_transform(registry, pose_cam, obj_ids, "verts")
-    obj_verts = heads.flip_pt3d(obj_verts, is_right)             # (B, N, 2048, 3)
     obj_com = heads.object_transform(registry, pose_cam, obj_ids, "CoM")
     obj_com = heads.flip_pt3d(obj_com, is_right)                 # (B, N, 1, 3)
 
     fnorm = jnp.linalg.norm(force_global, axis=-1)               # (B, 32)
     fweight = fnorm / (fnorm.sum(-1, keepdims=True) + 1e-12)
 
-    fp = force_point[:, None]                                    # (B, 1, 32, 3)
-    dist, near = min_dist_and_nearest(
-        jnp.broadcast_to(fp, obj_verts.shape[:2] + (32, 3)), obj_verts
-    )                                                            # (B, N, 32), (B, N, 32, 3)
+    # Distances are isometry-invariant: |fp - flip(R v + t)| =
+    # |R^T (flip(fp) - t) - v|, so transform the 32 force points into each
+    # candidate's canonical frame instead of materializing (and flipping)
+    # the (B, N, 2048, 3) transformed vertex sets — same math, ~3x less
+    # HBM traffic around the distance matrix.
+    B_, N_ = pose_cam.shape[:2]
+    rotmat = T.rotation_6d_to_matrix(pose_cam[..., :6])          # (B, N, 3, 3)
+    trans = pose_cam[..., 6:]                                    # (B, N, 3)
+    verts = heads.object_points(registry, obj_ids, "verts")     # (B, V, 3)
+    fp_flip = T.flip_point3d(force_point, ~is_right)             # (B, 32, 3)
+    fp_local = jnp.einsum(
+        "bnij,bnki->bnkj", rotmat, fp_flip[:, None] - trans[:, :, None],
+        precision=jax.lax.Precision.HIGHEST)                     # (B, N, 32, 3)
+    x2 = jnp.sum(fp_local * fp_local, axis=-1)                   # (B, N, 32)
+    y2 = jnp.sum(verts * verts, axis=-1)                         # (B, V)
+    xy = jnp.einsum("bnkd,bvd->bnkv", fp_local, verts,
+                    precision=jax.lax.Precision.HIGHEST)         # (B, N, 32, V)
+    d2 = x2[..., None] + y2[:, None, None] - 2.0 * xy
+    dist = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))      # (B, N, 32)
+    idx = jnp.argmin(d2, axis=-1)                                # (B, N, 32)
+    near_canon = verts[jnp.arange(B_)[:, None, None], idx]       # (B, N, 32, 3)
+    near = jnp.einsum("bnij,bnkj->bnki", rotmat, near_canon,
+                      precision=jax.lax.Precision.HIGHEST) + trans[:, :, None]
+    near = heads.flip_pt3d(near, is_right)                       # camera frame
     score = (dist * fweight[:, None]).sum(-1)                    # (B, N)
 
     fdir = force_global / (fnorm[..., None] + 1e-12)
-    r = (fp - near) if arm_mode == "reference" else near
+    r = (force_point[:, None] - near) if arm_mode == "reference" else near
     r = r - obj_com                                              # (B, N, 32, 3)
     L = jnp.linalg.norm(jnp.cross(fdir[:, None], r).sum(-2), axis=-1)  # (B, N)
     score = -(score * L)

@@ -165,6 +165,43 @@ def _rodrigues(aa: jax.Array) -> jax.Array:
     return axis_angle_to_matrix(aa)
 
 
+def _compose_chain(rots: jax.Array, j_rest: jax.Array):
+    """Root->leaf (R|t) composition, finger-batched.
+
+    MANO's 15 non-root joints are 5 independent 3-deep chains
+    (``PARENTS``), so the composition needs 3 batched (B, 5, 3, 3)
+    einsum steps over a finger axis instead of 15 sequential per-joint
+    3x3 products.  The cascade aggregator runs this ~12800 wide x 5
+    levels, where tiny-op kernel-launch latency (not FLOPs) was the cost
+    — this cut the chain from ~45 launches to ~8.
+
+    rots: (B, 16, 3, 3); j_rest: (B, 16, 3) -> A_rot (B, 16, 3, 3),
+    A_t (B, 16, 3) in MANO joint order.
+    """
+    B = rots.shape[0]
+    parents = jnp.asarray(PARENTS[1:])
+    rel = jnp.concatenate(
+        [j_rest[:, :1], j_rest[:, 1:] - j_rest[:, parents]], axis=1)
+    Rf = rots[:, 1:].reshape(B, 5, 3, 3, 3)   # (B, finger, depth, 3, 3)
+    tf = rel[:, 1:].reshape(B, 5, 3, 3)       # (B, finger, depth, 3)
+    prev_r = jnp.broadcast_to(rots[:, None, 0], (B, 5, 3, 3))
+    prev_t = jnp.broadcast_to(rel[:, None, 0], (B, 5, 3))
+    rot_d, t_d = [], []
+    for d in range(3):
+        prev_t = jnp.einsum("bfij,bfj->bfi", prev_r, tf[:, :, d],
+                            precision=lax.Precision.HIGHEST) + prev_t
+        prev_r = jnp.einsum("bfij,bfjk->bfik", prev_r, Rf[:, :, d],
+                            precision=lax.Precision.HIGHEST)
+        rot_d.append(prev_r)
+        t_d.append(prev_t)
+    # joints 1..15 are finger-major, depth-minor — exactly stack order
+    A_rot = jnp.concatenate(
+        [rots[:, :1], jnp.stack(rot_d, axis=2).reshape(B, 15, 3, 3)], axis=1)
+    A_t = jnp.concatenate(
+        [rel[:, :1], jnp.stack(t_d, axis=2).reshape(B, 15, 3)], axis=1)
+    return A_rot, A_t
+
+
 def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
     """MANO forward kinematics.
 
@@ -189,18 +226,8 @@ def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
     pose_map = (rots[:, 1:] - eye).reshape(B, 135)
     v_posed = v_shaped + jnp.einsum("vdp,bp->bvd", model.posedirs, pose_map, precision=lax.Precision.HIGHEST)
 
-    # kinematic chain: compose (R|t) transforms root->leaf (static unroll)
-    rel_t = [j_rest[:, 0]]
-    for k in range(1, 16):
-        rel_t.append(j_rest[:, k] - j_rest[:, PARENTS[k]])
-    A_rot = [rots[:, 0]]
-    A_t = [rel_t[0]]
-    for k in range(1, 16):
-        p = PARENTS[k]
-        A_rot.append(jnp.einsum("bij,bjk->bik", A_rot[p], rots[:, k], precision=lax.Precision.HIGHEST))
-        A_t.append(jnp.einsum("bij,bj->bi", A_rot[p], rel_t[k], precision=lax.Precision.HIGHEST) + A_t[p])
-    A_rot = jnp.stack(A_rot, axis=1)  # (B, 16, 3, 3)
-    A_t = jnp.stack(A_t, axis=1)      # (B, 16, 3)
+    # kinematic chain: compose (R|t) transforms root->leaf (finger-batched)
+    A_rot, A_t = _compose_chain(rots, j_rest)  # (B, 16, 3, 3), (B, 16, 3)
 
     # LBS: per-vertex blended transform applied to (v_posed - skinning offset)
     # A'_k = [R_k | t_k - R_k j_k]  (relative-to-rest correction)
@@ -234,31 +261,30 @@ def mano_fk_joints(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.A
     rots = _rodrigues(pose.reshape(B, 16, 3))
     tip_ids = jnp.asarray(TIP_IDS)
 
-    v_shaped = model.v_template[None] + jnp.einsum(
-        "vds,bs->bvd", model.shapedirs, shape, precision=lax.Precision.HIGHEST)
-    j_rest = jnp.einsum("jv,bvd->bjd", model.J_regressor, v_shaped,
-                        precision=lax.Precision.HIGHEST)
+    # Fold the joint regressor into the shape basis: j_rest then never needs
+    # the (B, 778, 3) shaped-vertex tensor.  The cascade aggregator calls
+    # this at B ~ 12800 x 5 levels, where materializing v_shaped (~120 MB a
+    # pop, plus its re-reads) dominated the FK's HBM traffic.  jdirs /
+    # j_template contract two model constants, so XLA folds them at compile
+    # time into a (16, 3, 10) / (16, 3) table.
+    j_template = jnp.einsum("jv,vd->jd", model.J_regressor, model.v_template,
+                            precision=lax.Precision.HIGHEST)
+    jdirs = jnp.einsum("jv,vds->jds", model.J_regressor, model.shapedirs,
+                       precision=lax.Precision.HIGHEST)
+    j_rest = j_template[None] + jnp.einsum(
+        "jds,bs->bjd", jdirs, shape, precision=lax.Precision.HIGHEST)
+    v_shaped_tips = model.v_template[tip_ids][None] + jnp.einsum(
+        "vds,bs->bvd", model.shapedirs[tip_ids], shape,
+        precision=lax.Precision.HIGHEST)                         # (B, 5, 3)
 
     eye = jnp.eye(3, dtype=pose.dtype)
     pose_map = (rots[:, 1:] - eye).reshape(B, 135)
     # only the tip rows of the pose-blend correction are needed
     posedirs_tips = model.posedirs[tip_ids]                      # (5, 3, 135)
-    v_tips = v_shaped[:, tip_ids] + jnp.einsum(
+    v_tips = v_shaped_tips + jnp.einsum(
         "vdp,bp->bvd", posedirs_tips, pose_map, precision=lax.Precision.HIGHEST)
 
-    rel_t = [j_rest[:, 0]]
-    for k in range(1, 16):
-        rel_t.append(j_rest[:, k] - j_rest[:, PARENTS[k]])
-    A_rot = [rots[:, 0]]
-    A_t = [rel_t[0]]
-    for k in range(1, 16):
-        p = PARENTS[k]
-        A_rot.append(jnp.einsum("bij,bjk->bik", A_rot[p], rots[:, k],
-                                precision=lax.Precision.HIGHEST))
-        A_t.append(jnp.einsum("bij,bj->bi", A_rot[p], rel_t[k],
-                              precision=lax.Precision.HIGHEST) + A_t[p])
-    A_rot = jnp.stack(A_rot, axis=1)
-    A_t = jnp.stack(A_t, axis=1)
+    A_rot, A_t = _compose_chain(rots, j_rest)
 
     corr_t = A_t - jnp.einsum("bkij,bkj->bki", A_rot, j_rest,
                               precision=lax.Precision.HIGHEST)
