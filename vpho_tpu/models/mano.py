@@ -255,46 +255,105 @@ def mano_fk_joints(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.A
     wastes ~99% of the FLOPs (and XLA cannot prune it through the dense
     einsums).  This path runs the kinematic chain plus a (5, 16) LBS.
 
+    TPU layout note: everything here is STRUCTURE-OF-ARRAYS — rotation
+    planes (9, J, B) / translation planes (3, J, B) with the wide batch on
+    the MINOR axis.  The array-of-structs form ((B, 16, 3, 3) tensors)
+    pads each 3x3 toward an (8, 128) TPU tile, amplifying HBM traffic
+    ~100x; measured 3.7 ms per 12800-wide call AoS vs ~0.5 ms for the same
+    arithmetic SoA (docs/PERF.md).  The joint regressor is folded into the
+    shape basis (compile-time (16, 3, 10) table) so no (B, 778, 3)
+    shaped-vertex tensor is materialized either.
+
     Returns (B, 21, 3) mm, wrist-centered, manopth order.
     """
     B = pose.shape[0]
-    rots = _rodrigues(pose.reshape(B, 16, 3))
     tip_ids = jnp.asarray(TIP_IDS)
 
-    # Fold the joint regressor into the shape basis: j_rest then never needs
-    # the (B, 778, 3) shaped-vertex tensor.  The cascade aggregator calls
-    # this at B ~ 12800 x 5 levels, where materializing v_shaped (~120 MB a
-    # pop, plus its re-reads) dominated the FK's HBM traffic.  jdirs /
-    # j_template contract two model constants, so XLA folds them at compile
-    # time into a (16, 3, 10) / (16, 3) table.
+    # axis-angle -> unit quaternion -> rotation planes (9, 16, B), row-major
+    aaT = jnp.transpose(pose.reshape(B, 16, 3), (2, 1, 0))       # (3, 16, B)
+    sq = jnp.sum(aaT * aaT, axis=0)                              # (16, B)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    half = 0.5 * angle
+    small = angle < 1e-6
+    # sin(x/2)/x ~ 1/2 - x^2/48 for small x (same guard as transforms.py)
+    shoa = jnp.where(small, 0.5 - sq / 48.0,
+                     jnp.sin(half) / jnp.where(small, 1.0, angle))
+    w = jnp.cos(half)
+    x, y, z = aaT * shoa
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    R = jnp.stack([
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], 0)     # (9, 16, B)
+
+    # rest joints straight from the shape betas (regressor folded at
+    # compile time), as (3, 16, B) planes
     j_template = jnp.einsum("jv,vd->jd", model.J_regressor, model.v_template,
                             precision=lax.Precision.HIGHEST)
     jdirs = jnp.einsum("jv,vds->jds", model.J_regressor, model.shapedirs,
                        precision=lax.Precision.HIGHEST)
-    j_rest = j_template[None] + jnp.einsum(
-        "jds,bs->bjd", jdirs, shape, precision=lax.Precision.HIGHEST)
-    v_shaped_tips = model.v_template[tip_ids][None] + jnp.einsum(
-        "vds,bs->bvd", model.shapedirs[tip_ids], shape,
-        precision=lax.Precision.HIGHEST)                         # (B, 5, 3)
+    j_rest = j_template.T[:, :, None] + jnp.einsum(
+        "jds,bs->djb", jdirs, shape, precision=lax.Precision.HIGHEST)
+    parents = jnp.asarray(PARENTS[1:])
+    rel = jnp.concatenate(
+        [j_rest[:, :1], j_rest[:, 1:] - j_rest[:, parents]], axis=1)
 
-    eye = jnp.eye(3, dtype=pose.dtype)
-    pose_map = (rots[:, 1:] - eye).reshape(B, 135)
-    # only the tip rows of the pose-blend correction are needed
-    posedirs_tips = model.posedirs[tip_ids]                      # (5, 3, 135)
-    v_tips = v_shaped_tips + jnp.einsum(
-        "vdp,bp->bvd", posedirs_tips, pose_map, precision=lax.Precision.HIGHEST)
+    # chain composition: 5 independent 3-deep finger chains, batched over
+    # the finger axis; 27 multiply-adds on (5, B) planes per depth step
+    rootR, roott = R[:, 0], rel[:, 0]                            # (9, B), (3, B)
+    Rf = R[:, 1:].reshape(9, 5, 3, B)                            # (.., finger, depth, B)
+    tf = rel[:, 1:].reshape(3, 5, 3, B)
+    pR = jnp.broadcast_to(rootR[:, None], (9, 5, B))
+    pt = jnp.broadcast_to(roott[:, None], (3, 5, B))
+    Rs, ts = [], []
+    for d in range(3):
+        tfd, Rfd = tf[:, :, d], Rf[:, :, d]
+        pt = jnp.stack([
+            pR[3 * i] * tfd[0] + pR[3 * i + 1] * tfd[1]
+            + pR[3 * i + 2] * tfd[2] + pt[i]
+            for i in range(3)], 0)
+        pR = jnp.stack([
+            pR[3 * i] * Rfd[j] + pR[3 * i + 1] * Rfd[3 + j]
+            + pR[3 * i + 2] * Rfd[6 + j]
+            for i in range(3) for j in range(3)], 0)
+        Rs.append(pR)
+        ts.append(pt)
+    # joints 1..15 are finger-major, depth-minor — exactly stack order
+    A_R = jnp.concatenate(
+        [rootR[:, None], jnp.stack(Rs, 2).reshape(9, 15, B)], 1)  # (9, 16, B)
+    A_t = jnp.concatenate(
+        [roott[:, None], jnp.stack(ts, 2).reshape(3, 15, B)], 1)  # (3, 16, B)
 
-    A_rot, A_t = _compose_chain(rots, j_rest)
-
-    corr_t = A_t - jnp.einsum("bkij,bkj->bki", A_rot, j_rest,
-                              precision=lax.Precision.HIGHEST)
+    # relative-to-rest correction + (5, 16) LBS, all in planes
+    corr = jnp.stack([
+        A_t[i] - (A_R[3 * i] * j_rest[0] + A_R[3 * i + 1] * j_rest[1]
+                  + A_R[3 * i + 2] * j_rest[2])
+        for i in range(3)], 0)                                   # (3, 16, B)
     w_tips = model.weights[tip_ids]                              # (5, 16)
-    T_rot = jnp.einsum("vk,bkij->bvij", w_tips, A_rot, precision=lax.Precision.HIGHEST)
-    T_t = jnp.einsum("vk,bki->bvi", w_tips, corr_t, precision=lax.Precision.HIGHEST)
-    tips = jnp.einsum("bvij,bvj->bvi", T_rot, v_tips, precision=lax.Precision.HIGHEST) + T_t
+    T_R = jnp.einsum("vk,xkb->xvb", w_tips, A_R,
+                     precision=lax.Precision.HIGHEST)            # (9, 5, B)
+    T_t = jnp.einsum("vk,xkb->xvb", w_tips, corr,
+                     precision=lax.Precision.HIGHEST)            # (3, 5, B)
 
-    jtr = jnp.concatenate([A_t, tips], axis=1)[:, JOINT_REORDER, :]
-    return (jtr - jtr[:, :1]) * 1000.0
+    # only the tip rows of the shape/pose blend corrections are needed
+    eye9 = jnp.asarray([1., 0., 0., 0., 1., 0., 0., 0., 1.], dtype=pose.dtype)
+    pose_map = jnp.transpose(R[:, 1:] - eye9[:, None, None],
+                             (2, 1, 0)).reshape(B, 135)
+    v_tips = (model.v_template[tip_ids].T[:, :, None]
+              + jnp.einsum("vds,bs->dvb", model.shapedirs[tip_ids], shape,
+                           precision=lax.Precision.HIGHEST)
+              + jnp.einsum("vdp,bp->dvb", model.posedirs[tip_ids], pose_map,
+                           precision=lax.Precision.HIGHEST))     # (3, 5, B)
+    tips = jnp.stack([
+        T_R[3 * i] * v_tips[0] + T_R[3 * i + 1] * v_tips[1]
+        + T_R[3 * i + 2] * v_tips[2] + T_t[i]
+        for i in range(3)], 0)                                   # (3, 5, B)
+
+    jtr = jnp.concatenate([A_t, tips], axis=1)[:, jnp.asarray(JOINT_REORDER)]
+    jtr = (jtr - jtr[:, :1]) * 1000.0                            # wrist-centered mm
+    return jnp.transpose(jtr, (2, 1, 0))                         # (B, 21, 3)
 
 
 def hand_joints_meters(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.Array:
