@@ -36,6 +36,7 @@ import jax.numpy as jnp
 from ..utils import transforms as T
 from ..utils.hand import MANO_JOINT_LEVEL, MANO_PARAMS_LEVEL
 from ..ops.image import sample_points
+from ..ops.pallas_dist import min_dist_and_idx
 from . import anchor as anchor_lib
 from . import heads
 from .mano import MANOModel, hand_joints_meters, hand_verts_meters
@@ -276,8 +277,10 @@ def hand_physics_rerank(
     force_norm = jnp.linalg.norm(force_global, axis=-1)          # (B, C, 32)
     force_weight = force_norm / (force_norm.sum(-1, keepdims=True) + 1e-12)
 
-    # distance of each anchor point to the object surface
-    dist = batched_min_dist(force_point, obj_vert[:, None])      # (B, C, 32)
+    # distance of each anchor point to the object surface — same fused
+    # VMEM-resident nearest-vertex kernel as the physics3 ranker (the
+    # (B, C, 32, V) distance tensor is ~1.7 GB at blessed shapes)
+    dist, _ = min_dist_and_idx(force_point, obj_vert)            # (B, C, 32)
     score = force_weight * dist
 
     force_dir = force_global / (force_norm[..., None] + 1e-12)
@@ -389,13 +392,10 @@ def obj_topk_by_physics3(
     fp_local = jnp.einsum(
         "bnij,bnki->bnkj", rotmat, fp_flip[:, None] - trans[:, :, None],
         precision=jax.lax.Precision.HIGHEST)                     # (B, N, 32, 3)
-    x2 = jnp.sum(fp_local * fp_local, axis=-1)                   # (B, N, 32)
-    y2 = jnp.sum(verts * verts, axis=-1)                         # (B, V)
-    xy = jnp.einsum("bnkd,bvd->bnkv", fp_local, verts,
-                    precision=jax.lax.Precision.HIGHEST)         # (B, N, 32, V)
-    d2 = x2[..., None] + y2[:, None, None] - 2.0 * xy
-    dist = jnp.sqrt(jnp.maximum(jnp.min(d2, axis=-1), 0.0))      # (B, N, 32)
-    idx = jnp.argmin(d2, axis=-1)                                # (B, N, 32)
+    # fused nearest-vertex search: on TPU a Pallas kernel keeps each
+    # (candidates, V) distance tile in VMEM instead of round-tripping the
+    # (B, N, 32, V) tensor through HBM for min+argmin (ops/pallas_dist)
+    dist, idx = min_dist_and_idx(fp_local, verts)                # (B, N, 32)
     near_canon = verts[jnp.arange(B_)[:, None, None], idx]       # (B, N, 32, 3)
     near = jnp.einsum("bnij,bnkj->bnki", rotmat, near_canon,
                       precision=jax.lax.Precision.HIGHEST) + trans[:, :, None]

@@ -158,48 +158,72 @@ def load_mano(mano_root: str | None = None, side: str = "right") -> MANOModel:
     return synthetic_mano(side=side)
 
 
-def _rodrigues(aa: jax.Array) -> jax.Array:
-    """Batched axis-angle -> rotation matrix. aa: (..., 3)."""
-    from ..utils.transforms import axis_angle_to_matrix
+def _rot_planes(pose: jax.Array) -> jax.Array:
+    """(B, 48) axis-angle -> (9, 16, B) row-major rotation planes.
 
-    return axis_angle_to_matrix(aa)
-
-
-def _compose_chain(rots: jax.Array, j_rest: jax.Array):
-    """Root->leaf (R|t) composition, finger-batched.
-
-    MANO's 15 non-root joints are 5 independent 3-deep chains
-    (``PARENTS``), so the composition needs 3 batched (B, 5, 3, 3)
-    einsum steps over a finger axis instead of 15 sequential per-joint
-    3x3 products.  The cascade aggregator runs this ~12800 wide x 5
-    levels, where tiny-op kernel-launch latency (not FLOPs) was the cost
-    — this cut the chain from ~45 launches to ~8.
-
-    rots: (B, 16, 3, 3); j_rest: (B, 16, 3) -> A_rot (B, 16, 3, 3),
-    A_t (B, 16, 3) in MANO joint order.
+    Structure-of-arrays on purpose: (B, 16, 3, 3) rotation tensors pad
+    each 3x3 toward an (8, 128) TPU tile (~100x HBM amplification on every
+    consumer); planes keep the wide batch on the minor axis.  Same
+    clamped-sqrt / Taylor small-angle guards as
+    transforms.axis_angle_to_quaternion so gradients at zero rotation stay
+    finite.
     """
-    B = rots.shape[0]
+    B = pose.shape[0]
+    aaT = jnp.transpose(pose.reshape(B, 16, 3), (2, 1, 0))       # (3, 16, B)
+    sq = jnp.sum(aaT * aaT, axis=0)                              # (16, B)
+    angle = jnp.sqrt(jnp.maximum(sq, 1e-24))
+    half = 0.5 * angle
+    small = angle < 1e-6
+    shoa = jnp.where(small, 0.5 - sq / 48.0,
+                     jnp.sin(half) / jnp.where(small, 1.0, angle))
+    w = jnp.cos(half)
+    x, y, z = aaT * shoa
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
+        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
+        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], 0)     # (9, 16, B)
+
+
+def _chain_planes(R: jax.Array, j_rest: jax.Array):
+    """Root->leaf (R|t) composition in planes.
+
+    MANO's 15 non-root joints are 5 independent 3-deep finger chains
+    (``PARENTS``): 3 depth steps of 27 multiply-adds on (5, B) planes.
+
+    R: (9, 16, B) rotation planes; j_rest: (3, 16, B) rest joints ->
+    A_R (9, 16, B), A_t (3, 16, B) in MANO joint order.
+    """
+    B = R.shape[-1]
     parents = jnp.asarray(PARENTS[1:])
     rel = jnp.concatenate(
         [j_rest[:, :1], j_rest[:, 1:] - j_rest[:, parents]], axis=1)
-    Rf = rots[:, 1:].reshape(B, 5, 3, 3, 3)   # (B, finger, depth, 3, 3)
-    tf = rel[:, 1:].reshape(B, 5, 3, 3)       # (B, finger, depth, 3)
-    prev_r = jnp.broadcast_to(rots[:, None, 0], (B, 5, 3, 3))
-    prev_t = jnp.broadcast_to(rel[:, None, 0], (B, 5, 3))
-    rot_d, t_d = [], []
+    rootR, roott = R[:, 0], rel[:, 0]                            # (9, B), (3, B)
+    Rf = R[:, 1:].reshape(9, 5, 3, B)                            # (.., finger, depth, B)
+    tf = rel[:, 1:].reshape(3, 5, 3, B)
+    pR = jnp.broadcast_to(rootR[:, None], (9, 5, B))
+    pt = jnp.broadcast_to(roott[:, None], (3, 5, B))
+    Rs, ts = [], []
     for d in range(3):
-        prev_t = jnp.einsum("bfij,bfj->bfi", prev_r, tf[:, :, d],
-                            precision=lax.Precision.HIGHEST) + prev_t
-        prev_r = jnp.einsum("bfij,bfjk->bfik", prev_r, Rf[:, :, d],
-                            precision=lax.Precision.HIGHEST)
-        rot_d.append(prev_r)
-        t_d.append(prev_t)
+        tfd, Rfd = tf[:, :, d], Rf[:, :, d]
+        pt = jnp.stack([
+            pR[3 * i] * tfd[0] + pR[3 * i + 1] * tfd[1]
+            + pR[3 * i + 2] * tfd[2] + pt[i]
+            for i in range(3)], 0)
+        pR = jnp.stack([
+            pR[3 * i] * Rfd[j] + pR[3 * i + 1] * Rfd[3 + j]
+            + pR[3 * i + 2] * Rfd[6 + j]
+            for i in range(3) for j in range(3)], 0)
+        Rs.append(pR)
+        ts.append(pt)
     # joints 1..15 are finger-major, depth-minor — exactly stack order
-    A_rot = jnp.concatenate(
-        [rots[:, :1], jnp.stack(rot_d, axis=2).reshape(B, 15, 3, 3)], axis=1)
+    A_R = jnp.concatenate(
+        [rootR[:, None], jnp.stack(Rs, 2).reshape(9, 15, B)], 1)
     A_t = jnp.concatenate(
-        [rel[:, :1], jnp.stack(t_d, axis=2).reshape(B, 15, 3)], axis=1)
-    return A_rot, A_t
+        [roott[:, None], jnp.stack(ts, 2).reshape(3, 15, B)], 1)
+    return A_R, A_t
 
 
 def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
@@ -213,7 +237,7 @@ def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
       joints: (B, 21, 3) mm, wrist-centered, 21-joint manopth order.
     """
     B = pose.shape[0]
-    rots = _rodrigues(pose.reshape(B, 16, 3))  # (B, 16, 3, 3)
+    R = _rot_planes(pose)                      # (9, 16, B)
 
     # shape blend
     v_shaped = model.v_template[None] + jnp.einsum(
@@ -222,12 +246,16 @@ def mano_fk(model: MANOModel, pose: jax.Array, shape: jax.Array):
     j_rest = jnp.einsum("jv,bvd->bjd", model.J_regressor, v_shaped, precision=lax.Precision.HIGHEST)  # (B, 16, 3)
 
     # pose blend: (R_k - I) for k=1..15
-    eye = jnp.eye(3, dtype=pose.dtype)
-    pose_map = (rots[:, 1:] - eye).reshape(B, 135)
+    eye9 = jnp.asarray([1., 0., 0., 0., 1., 0., 0., 0., 1.], dtype=pose.dtype)
+    pose_map = jnp.transpose(R[:, 1:] - eye9[:, None, None],
+                             (2, 1, 0)).reshape(B, 135)
     v_posed = v_shaped + jnp.einsum("vdp,bp->bvd", model.posedirs, pose_map, precision=lax.Precision.HIGHEST)
 
-    # kinematic chain: compose (R|t) transforms root->leaf (finger-batched)
-    A_rot, A_t = _compose_chain(rots, j_rest)  # (B, 16, 3, 3), (B, 16, 3)
+    # kinematic chain in SoA planes (see _rot_planes), then ONE conversion
+    # to (B, 16, 3, 3)/(B, 16, 3) for the layout-friendly big LBS einsums
+    A_Rp, A_tp = _chain_planes(R, jnp.transpose(j_rest, (2, 1, 0)))
+    A_rot = jnp.transpose(A_Rp, (2, 1, 0)).reshape(B, 16, 3, 3)
+    A_t = jnp.transpose(A_tp, (2, 1, 0))
 
     # LBS: per-vertex blended transform applied to (v_posed - skinning offset)
     # A'_k = [R_k | t_k - R_k j_k]  (relative-to-rest correction)
@@ -268,25 +296,7 @@ def mano_fk_joints(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.A
     """
     B = pose.shape[0]
     tip_ids = jnp.asarray(TIP_IDS)
-
-    # axis-angle -> unit quaternion -> rotation planes (9, 16, B), row-major
-    aaT = jnp.transpose(pose.reshape(B, 16, 3), (2, 1, 0))       # (3, 16, B)
-    sq = jnp.sum(aaT * aaT, axis=0)                              # (16, B)
-    angle = jnp.sqrt(jnp.maximum(sq, 1e-24))
-    half = 0.5 * angle
-    small = angle < 1e-6
-    # sin(x/2)/x ~ 1/2 - x^2/48 for small x (same guard as transforms.py)
-    shoa = jnp.where(small, 0.5 - sq / 48.0,
-                     jnp.sin(half) / jnp.where(small, 1.0, angle))
-    w = jnp.cos(half)
-    x, y, z = aaT * shoa
-    xx, yy, zz = x * x, y * y, z * z
-    xy, xz, yz = x * y, x * z, y * z
-    wx, wy, wz = w * x, w * y, w * z
-    R = jnp.stack([
-        1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
-        2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
-        2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], 0)     # (9, 16, B)
+    R = _rot_planes(pose)                                        # (9, 16, B)
 
     # rest joints straight from the shape betas (regressor folded at
     # compile time), as (3, 16, B) planes
@@ -296,35 +306,7 @@ def mano_fk_joints(model: MANOModel, pose: jax.Array, shape: jax.Array) -> jax.A
                        precision=lax.Precision.HIGHEST)
     j_rest = j_template.T[:, :, None] + jnp.einsum(
         "jds,bs->djb", jdirs, shape, precision=lax.Precision.HIGHEST)
-    parents = jnp.asarray(PARENTS[1:])
-    rel = jnp.concatenate(
-        [j_rest[:, :1], j_rest[:, 1:] - j_rest[:, parents]], axis=1)
-
-    # chain composition: 5 independent 3-deep finger chains, batched over
-    # the finger axis; 27 multiply-adds on (5, B) planes per depth step
-    rootR, roott = R[:, 0], rel[:, 0]                            # (9, B), (3, B)
-    Rf = R[:, 1:].reshape(9, 5, 3, B)                            # (.., finger, depth, B)
-    tf = rel[:, 1:].reshape(3, 5, 3, B)
-    pR = jnp.broadcast_to(rootR[:, None], (9, 5, B))
-    pt = jnp.broadcast_to(roott[:, None], (3, 5, B))
-    Rs, ts = [], []
-    for d in range(3):
-        tfd, Rfd = tf[:, :, d], Rf[:, :, d]
-        pt = jnp.stack([
-            pR[3 * i] * tfd[0] + pR[3 * i + 1] * tfd[1]
-            + pR[3 * i + 2] * tfd[2] + pt[i]
-            for i in range(3)], 0)
-        pR = jnp.stack([
-            pR[3 * i] * Rfd[j] + pR[3 * i + 1] * Rfd[3 + j]
-            + pR[3 * i + 2] * Rfd[6 + j]
-            for i in range(3) for j in range(3)], 0)
-        Rs.append(pR)
-        ts.append(pt)
-    # joints 1..15 are finger-major, depth-minor — exactly stack order
-    A_R = jnp.concatenate(
-        [rootR[:, None], jnp.stack(Rs, 2).reshape(9, 15, B)], 1)  # (9, 16, B)
-    A_t = jnp.concatenate(
-        [roott[:, None], jnp.stack(ts, 2).reshape(3, 15, B)], 1)  # (3, 16, B)
+    A_R, A_t = _chain_planes(R, j_rest)                          # (9|3, 16, B)
 
     # relative-to-rest correction + (5, 16) LBS, all in planes
     corr = jnp.stack([
