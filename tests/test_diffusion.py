@@ -101,12 +101,30 @@ class TestODESampler:
         mu = jnp.array([1.0, 2.0])
         score_fn = _gaussian_score(mu, sde)
         outs = {}
-        for method in ["euler", "heun", "rk4"]:
+        for method in ["euler", "heun", "rk4", "dpm2m"]:
             _, x = ode_sampler(
                 score_fn, jax.random.PRNGKey(7), 8, 2, sde, 0.65, 100, method=method
             )
             outs[method] = np.asarray(x)
         np.testing.assert_allclose(outs["heun"], outs["rk4"], atol=5e-2)
+        # dpm2m: ONE eval per step, still 2nd order — must sit in the same
+        # band as heun/rk4 (for a Gaussian score D is affine in x, so the
+        # multistep extrapolation is near-exact)
+        np.testing.assert_allclose(outs["dpm2m"], outs["rk4"], atol=5e-2)
+
+    def test_dpm2m_trajectory_shape_and_start(self):
+        sde = init_sde("ve")
+        mu = jnp.array([0.5, -1.0, 2.0])
+        score_fn = _gaussian_score(mu, sde)
+        traj, x = ode_sampler(score_fn, jax.random.PRNGKey(3), 4, 3, sde,
+                              0.65, 20, method="dpm2m")
+        assert traj.shape == (4, 20, 3)
+        assert x.shape == (4, 3)
+        # trajectory starts at the prior draw and ends near the final state
+        _, x2 = ode_sampler(score_fn, jax.random.PRNGKey(3), 4, 3, sde,
+                            0.65, 20, method="dpm2m", denoise=False)
+        np.testing.assert_allclose(np.asarray(traj[:, -1]), np.asarray(x2),
+                                   atol=1e-6)
 
     def test_nan_guard(self):
         sde = init_sde("ve")

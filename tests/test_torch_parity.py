@@ -196,7 +196,7 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     zero_init = jnp.zeros((B, dim)) - sde.prior(key, (B, dim), T=T0) + x0
 
     ours = {}
-    for method in ("rk4", "heun"):
+    for method in ("rk4", "heun", "dpm2m"):
         traj, x = ode_sampler(score_fn, key, B, dim, sde, T0, steps,
                               method=method, init_x=zero_init)
         assert np.allclose(np.asarray(traj[:, 0]), x0, atol=1e-5)
@@ -214,6 +214,9 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     _, x_bf16 = ode_sampler(score_fn_bf16, key, B, dim, sde, T0, steps,
                             method="heun", init_x=zero_init)
     ours["heun_bf16"] = np.asarray(x_bf16)
+    _, x_dpm_bf16 = ode_sampler(score_fn_bf16, key, B, dim, sde, T0, steps,
+                                method="dpm2m", init_x=zero_init)
+    ours["dpm2m_bf16"] = np.asarray(x_dpm_bf16)
 
     torch.manual_seed(123)
     probe = prior_fn((B, dim), T=T0)
@@ -251,13 +254,24 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     err_ref = np.abs(ref_x - truth).max()
     err_rk4 = np.abs(ours["rk4"] - truth).max()
     err_heun = np.abs(ours["heun"] - truth).max()
+    err_dpm = np.abs(ours["dpm2m"] - truth).max()
     err_bf16 = np.abs(ours["heun_bf16"] - truth).max()
     print(f"ode errs vs truth: ref_rk45={err_ref:.4f} rk4@50={err_rk4:.4f} "
-          f"heun@50={err_heun:.4f} heun@50_bf16={err_bf16:.4f}")
+          f"heun@50={err_heun:.4f} dpm2m@50={err_dpm:.4f} "
+          f"heun@50_bf16={err_bf16:.4f} "
+          f"dpm2m@50_bf16={np.abs(ours['dpm2m_bf16'] - truth).max():.4f}")
     # our default integrator must be at least as faithful as the reference's
     assert err_rk4 < err_ref, (err_rk4, err_ref)
     # heun stays within the reference's own error band (promotion gate)
     assert err_heun < 1.2 * err_ref, (err_heun, err_ref)
+    # dpm2m (1 eval/step) must ALSO stay within the reference's band — the
+    # promotion gate for --ode_method dpm2m (half heun's score evals)
+    assert err_dpm < 1.2 * err_ref, (err_dpm, err_ref)
+    # ...and under the bf16 compute policy (the bench default combines
+    # dpm2m + bf16; measured 2026-08-19: 0.0375 vs f32 dpm2m 0.0358 —
+    # integration error dominates rounding, same story as heun_bf16)
+    err_dpm_bf16 = np.abs(ours["dpm2m_bf16"] - truth).max()
+    assert err_dpm_bf16 < 1.2 * err_ref, (err_dpm_bf16, err_ref)
     # bf16-compute heun must ALSO stay within the reference's own band —
     # the --compute_dtype bfloat16 eval promotion gate (measured 2026-08-17:
     # err_bf16 0.0381 vs f32 heun 0.0360 vs reference RK45 0.0462 — bf16

@@ -70,6 +70,49 @@ def time_grid(sde: SDE, T0: float, num_steps: int, schedule: str = "uniform",
     raise NotImplementedError(schedule)
 
 
+def _dpm2m_scan(score_fn: ScoreFn, sde: SDE, x0: jax.Array, ts: jax.Array,
+                return_trajectory: bool):
+    """DPM-Solver++(2M): ONE score eval per grid transition, 2nd order.
+
+    Lu et al. 2022, "DPM-Solver++" (arXiv:2211.01095), multistep
+    data-prediction variant: exploit the semi-linear structure of the
+    probability-flow ODE by solving the linear part exactly in log-SNR
+    time lambda = log(alpha/sigma) and extrapolating the *denoised
+    prediction* D = (x + sigma^2 score)/alpha from the previous step for
+    2nd-order accuracy.  Per transition i -> i+1 (h_i = lam_{i+1}-lam_i):
+
+        D_ext = (1 + 1/(2 r_i)) D_i - 1/(2 r_i) D_{i-1},  r_i = h_{i-1}/h_i
+        x_{i+1} = (sig_{i+1}/sig_i) x_i - alp_{i+1} expm1(-h_i) D_ext
+
+    (first transition falls back to the 1st-order step, which is exact for
+    point-mass data).  Halves the score-eval count vs Heun at the same
+    grid; the eval pipeline is HBM-bound on per-eval reads (docs/PERF.md),
+    so evals, not FLOPs, are the cost.  SDE-agnostic via alpha(t)/sigma(t)
+    from ``marginal_prob``; for the default VE SDE alpha == 1.
+    """
+    flat = jnp.reshape(ts, (-1,))
+    alp = jnp.reshape(sde.marginal_prob(jnp.ones_like(flat), flat)[0], (-1,))
+    sig = jnp.reshape(sde.marginal_prob(jnp.zeros_like(flat), flat)[1], (-1,))
+    lam = jnp.log(alp) - jnp.log(sig)
+    h = lam[1:] - lam[:-1]                                   # (n-1,), > 0
+    r = jnp.concatenate([jnp.ones((1,), h.dtype), h[:-1] / h[1:]])
+
+    def step(carry, i):
+        x, d_prev = carry
+        score = score_fn(x, jnp.reshape(ts[i], (1, 1)))
+        score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
+        d = (x + (sig[i] ** 2) * score) / alp[i]
+        c = 0.5 / r[i]
+        d_use = jnp.where(i == 0, d, (1.0 + c) * d - c * d_prev)
+        x_new = (sig[i + 1] / sig[i]) * x - alp[i + 1] * jnp.expm1(-h[i]) * d_use
+        return (x_new, d), (x_new if return_trajectory
+                            else jnp.zeros((0,), x.dtype))
+
+    (x_final, _), traj = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0)), jnp.arange(ts.shape[0] - 1))
+    return x_final, traj
+
+
 def ode_sampler(
     score_fn: ScoreFn,
     key: jax.Array,
@@ -102,6 +145,17 @@ def ode_sampler(
 
     ts = time_grid(sde, T0, num_steps, schedule)
 
+    if method == "dpm2m":
+        x_final, traj = _dpm2m_scan(score_fn, sde, x0, ts, return_trajectory)
+        if return_trajectory:
+            trajectory = jnp.concatenate(
+                [x0[:, None], jnp.moveaxis(traj, 0, 1)], axis=1)
+        else:
+            trajectory = jnp.zeros((batch_size, 0, pose_dim), x0.dtype)
+        if denoise:
+            x_final = _denoise_step(score_fn, sde, x_final, num_steps)
+        return trajectory, x_final
+
     def step(x, i):
         t0, t1 = ts[i], ts[i + 1]
         h = t1 - t0
@@ -132,14 +186,20 @@ def ode_sampler(
         trajectory = jnp.zeros((batch_size, 0, pose_dim), x0.dtype)
 
     if denoise:
-        t_eps = jnp.asarray(sde.eps, x_final.dtype)
-        drift_coeff, diffusion = sde.sde(t_eps)
-        score = score_fn(x_final, jnp.full((1, 1), sde.eps, x_final.dtype))
-        score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
-        drift = drift_coeff * x_final - (diffusion**2) * score  # reverse-SDE drift
-        x_final = x_final + drift * ((1.0 - sde.eps) / num_steps)
+        x_final = _denoise_step(score_fn, sde, x_final, num_steps)
 
     return trajectory, x_final
+
+
+def _denoise_step(score_fn: ScoreFn, sde: SDE, x_final: jax.Array,
+                  num_steps: int) -> jax.Array:
+    """Final reverse-diffusion predictor Euler step (ref :95-104)."""
+    t_eps = jnp.asarray(sde.eps, x_final.dtype)
+    drift_coeff, diffusion = sde.sde(t_eps)
+    score = score_fn(x_final, jnp.full((1, 1), sde.eps, x_final.dtype))
+    score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
+    drift = drift_coeff * x_final - (diffusion**2) * score  # reverse-SDE drift
+    return x_final + drift * ((1.0 - sde.eps) / num_steps)
 
 
 def score_matching_loss(

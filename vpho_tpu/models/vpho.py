@@ -58,12 +58,14 @@ class ModelConfig:
     sample_num: int = 50
     topk_hand: int = 15
     topk_obj: int = 5
-    # heun by default: 2 score evals/step (vs rk4's 4) for ~1.3x eval
-    # throughput, and still MORE faithful to the true probability-flow ODE
-    # than the reference's adaptive RK45 at the blessed 50-step budget
-    # (tests/test_torch_parity.py three-way study: heun err 0.036, rk4 err
-    # 0.011, reference RK45 err 0.046).  --ode_method rk4 restores rk4.
-    ode_method: str = "heun"
+    # dpm2m by default: DPM-Solver++(2M) multistep, ONE score eval/step
+    # (vs heun's 2, rk4's 4) at 2nd order — and still MORE faithful to the
+    # true probability-flow ODE than the reference's adaptive RK45 at the
+    # blessed 50-step budget (tests/test_torch_parity.py four-way study:
+    # dpm2m err 0.0358, heun 0.0360, rk4 0.011, reference RK45 0.046).
+    # Measured +37% eval throughput over heun (docs/PERF.md r3).
+    # --ode_method heun/rk4/euler restore the Runge-Kutta integrators.
+    ode_method: str = "dpm2m"
     # grid spacing: 'uniform' (reference t_eval) or 'karras' (sigma-rho).
     # Studied and NOT promoted: for the VE SDE uniform-t is already
     # geometric in sigma, so karras buys nothing (docs/PERF.md r3)
