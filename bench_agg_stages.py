@@ -45,18 +45,23 @@ from vpho_tpu.models.vpho import (ModelConfig, VPHONet, _score_fn,
                                   postprocess_diffusion_hand)
 
 
-def timed(name, fn, *args, iters=7):
+def timed(name, fn, *args, iters=5, groups=3):
+    """Group-fenced: ``iters`` async dispatches per fence — per-call fencing
+    pays the ~30 ms tunnel RTT, which swamps ms-scale stages."""
     only = os.environ.get("BENCH_STAGES", "")
     if only and name not in only.split(","):
         return None
     out = fn(*args, jnp.float32(0))
     jax.block_until_ready(out)
     ts = []
-    for i in range(iters):
+    k = 1
+    for _ in range(groups):
         t0 = time.perf_counter()
-        out = fn(*args, jnp.float32(1 + i))
+        for _ in range(iters):
+            out = fn(*args, jnp.float32(k))
+            k += 1
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0) / iters)
     ts.sort()
     print(json.dumps({"stage": name, "median_ms": round(ts[len(ts) // 2] * 1e3, 2)}),
           flush=True)

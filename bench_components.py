@@ -21,21 +21,27 @@ from vpho_tpu.models.vpho import ModelConfig, VPHONet, _score_fn, postprocess_di
 from vpho_tpu.models.mano import hand_verts_meters
 
 
-def timed(name, fn, *args, iters=5):
-    """Median wall ms; ``fn``'s last parameter must be a seed scalar.
+def timed(name, fn, *args, iters=5, groups=3):
+    """Median group-fenced wall ms; ``fn``'s last parameter must be a seed.
 
-    Each timed call gets a DISTINCT seed: the axon tunnel short-circuits
+    Each call gets a DISTINCT seed: the axon tunnel short-circuits
     re-executions with bit-identical arguments (measured 0.22 ms for a
-    1.7 TFLOP grad), so repeating the same args times nothing.
+    1.7 TFLOP grad), so repeating the same args times nothing.  Calls are
+    dispatched async in groups of ``iters`` with ONE fence per group —
+    per-call fencing pays the full host<->device RTT (~30 ms on this
+    tunnel), which at these shapes can exceed the kernel itself.
     """
     out = fn(*args, jnp.float32(0))
     jax.block_until_ready(out)
     ts = []
-    for i in range(iters):
+    k = 1
+    for _ in range(groups):
         t0 = time.perf_counter()
-        out = fn(*args, jnp.float32(1 + i))
+        for _ in range(iters):
+            out = fn(*args, jnp.float32(k))
+            k += 1
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
+        ts.append((time.perf_counter() - t0) / iters)
     ts.sort()
     print(json.dumps({"component": name, "median_ms": round(ts[len(ts) // 2] * 1e3, 2)}))
     return out

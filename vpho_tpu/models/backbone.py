@@ -120,19 +120,23 @@ class FPNBackbone(nn.Module):
         c5_h = layer4(c4_h, train=t)
         c5_o = layer4(c4_o, train=t)  # shared weights (backbone_FPN_HFL.py:85-86)
 
-        # hand top-down
-        p5_h = nn.Conv(256, (1, 1), name="toplayer_h")(c5_h)
-        p4_h = _upsample_add(p5_h, nn.Conv(256, (1, 1), name="latlayer1_h")(c4_h))
-        p3_h = _upsample_add(p4_h, nn.Conv(256, (1, 1), name="latlayer2_h")(c3_h))
-        p2_h = _upsample_add(p3_h, nn.Conv(256, (1, 1), name="latlayer3_h")(c2))
+        # hand top-down.  dtype=d on every FPN conv matters: without it Flax
+        # promotes bf16 activations x f32 params -> f32, and the smooth3
+        # 3x3 conv at (64, 64, 256->256) alone is ~620 GFLOP/batch at bs=64
+        # — running it at the f32 MXU rate costs more than the whole
+        # ResNet body at bf16.
+        p5_h = nn.Conv(256, (1, 1), name="toplayer_h", dtype=d)(c5_h)
+        p4_h = _upsample_add(p5_h, nn.Conv(256, (1, 1), name="latlayer1_h", dtype=d)(c4_h))
+        p3_h = _upsample_add(p4_h, nn.Conv(256, (1, 1), name="latlayer2_h", dtype=d)(c3_h))
+        p2_h = _upsample_add(p3_h, nn.Conv(256, (1, 1), name="latlayer3_h", dtype=d)(c2))
 
         # object top-down (lateral at P2 uses shared c2, :98)
-        p5_o = nn.Conv(256, (1, 1), name="toplayer_o")(c5_o)
-        p4_o = _upsample_add(p5_o, nn.Conv(256, (1, 1), name="latlayer1_o")(c4_o))
-        p3_o = _upsample_add(p4_o, nn.Conv(256, (1, 1), name="latlayer2_o")(c3_o))
-        p2_o = _upsample_add(p3_o, nn.Conv(256, (1, 1), name="latlayer3_o")(c2))
+        p5_o = nn.Conv(256, (1, 1), name="toplayer_o", dtype=d)(c5_o)
+        p4_o = _upsample_add(p5_o, nn.Conv(256, (1, 1), name="latlayer1_o", dtype=d)(c4_o))
+        p3_o = _upsample_add(p4_o, nn.Conv(256, (1, 1), name="latlayer2_o", dtype=d)(c3_o))
+        p2_o = _upsample_add(p3_o, nn.Conv(256, (1, 1), name="latlayer3_o", dtype=d)(c2))
 
-        p2_h = nn.Conv(256, (3, 3), padding=1, name="smooth3_h")(p2_h)
-        p2_o = nn.Conv(256, (3, 3), padding=1, name="smooth3_o")(p2_o)
+        p2_h = nn.Conv(256, (3, 3), padding=1, name="smooth3_h", dtype=d)(p2_h)
+        p2_o = nn.Conv(256, (3, 3), padding=1, name="smooth3_o", dtype=d)(p2_o)
         # FPN heads consume f32 features (ROI sampling + losses)
         return p2_h.astype(jnp.float32), p2_o.astype(jnp.float32)

@@ -194,9 +194,9 @@ class TransformerEncoderLayer(nn.Module):
             deterministic=not train, dropout_rate=self.dropout, dtype=self.dtype,
         )(x, x)
         x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(attn))
-        ff = nn.Dense(self.d_ff)(x)
+        ff = nn.Dense(self.d_ff, dtype=self.dtype)(x)
         ff = nn.relu(ff)
         ff = nn.Dropout(self.dropout, deterministic=not train)(ff)
-        ff = nn.Dense(self.d_model)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype)(ff)
         x = nn.LayerNorm()(x + nn.Dropout(self.dropout, deterministic=not train)(ff))
         return x
