@@ -31,6 +31,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops import pallas_bank
+
 T_DIM = 128
 POSE_DIM = 256
 FEAT_DIM = 1024
@@ -135,6 +137,31 @@ class BankMLPHead(nn.Module):
         # f32 0.597 ms/eval vs pallas f32 0.772 / best-tuned bf16 0.593 —
         # XLA's batched-GEMM lowering wins (docs/PERF.md has the full
         # sweep), so the kernel was dropped and this stays einsum.
+        if (feat_proj is not None and feat_proj.shape[0] != pose_feat.shape[0]
+                and t_feat.shape[0] == 1 and self.dtype is not None
+                and self.num * self.out_dim >= 32
+                and pallas_bank.tpu_backend()):
+            # ODE-loop fast path on TPU under the bf16 policy: ONE fused
+            # Pallas kernel (layer1 + ReLU + block-diagonal layer2) that
+            # never materializes the (B*S, num, hidden) activation in HBM
+            # (~210 MB/score-eval at blessed shapes; see ops/pallas_bank.py).
+            # The per-sample additive term folds the shared t-embedding,
+            # bias1 and the conditioning projection into (B, num, hidden).
+            # Gated to wide heads (num*out >= 32): the 3-bank object head's
+            # 9 output lanes pad to 128 and the per-cell work is too small —
+            # measured 8.1 -> 11.8 ms REGRESSION in-situ; the hand head
+            # (32 banks, 96 lanes) measures 24.8 -> 21.9 ms.
+            B = feat_proj.shape[0]
+            S = pose_feat.shape[0] // B
+            assert S * B == pose_feat.shape[0], (pose_feat.shape, feat_proj.shape)
+            t_term = jnp.einsum("bc,ncd->bnd",
+                                *self._cast(t_feat, self.kernel1[:, :T_DIM]))
+            add = (t_term.astype(jnp.float32) + self.bias1
+                   + feat_proj.astype(jnp.float32))
+            out = pallas_bank.fused_bank_mlp(
+                pose_feat, self.kernel1[:, T_DIM:TP_DIM], add,
+                self.kernel2, self.bias2, S)
+            return out.reshape(out.shape[0], self.num * self.out_dim)
         w_t = self.kernel1[:, :T_DIM]
         w_p = self.kernel1[:, T_DIM:TP_DIM]
         t_feat, pose_feat, w_t, w_p, b1 = self._cast(
@@ -145,10 +172,10 @@ class BankMLPHead(nn.Module):
             assert feat is not None
             h = h + self.precompute_feat(feat)
         elif feat_proj.shape[0] != h.shape[0]:
-            # ODE loop: feat_proj is per-SAMPLE (B, n, H) while the poses
-            # carry B*S hypotheses (sample-major repeat).  Broadcasting here
-            # instead of pre-repeating saves reading the repeated 210 MB
-            # conditioning tensor from HBM at every score evaluation.
+            # ODE loop off-TPU / f32: feat_proj is per-SAMPLE (B, n, H)
+            # while the poses carry B*S hypotheses (sample-major repeat).
+            # Broadcasting here instead of pre-repeating saves reading the
+            # repeated 210 MB conditioning tensor at every score evaluation.
             S = h.shape[0] // feat_proj.shape[0]
             assert S * feat_proj.shape[0] == h.shape[0], (h.shape, feat_proj.shape)
             h = (h.reshape(feat_proj.shape[0], S, *h.shape[1:])

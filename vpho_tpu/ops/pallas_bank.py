@@ -1,0 +1,144 @@
+"""Fused denoiser bank-MLP (Pallas TPU kernel) for the ODE fast path.
+
+The score network's bank head (reference denoiser.py:34-82; here
+``models/denoiser.BankMLPHead``) evaluates, per ODE step,
+
+    out[b, n, :] = relu(p[b] @ Wp[n] + t_term[n] + feat_proj[s(b), n] + b1[n]) @ W2[n] + b2[n]
+
+over R = B*S hypothesis rows and n banks (hand head: n=32, hidden 256 ->
+an (R, 32, 256) hidden tensor).  XLA's einsum lowering is a fine pair of
+batched GEMMs, but it round-trips that hidden tensor through HBM — at the
+blessed shapes (R=6400) that is ~210 MB per score evaluation, ~10.5 GB
+over a 50-step DPM-Solver++(2M) sample, the dominant term of the hand-ODE
+time (docs/PERF.md).  The r2 fusion attempt lost to serial small-N
+per-bank dots (commit aa1c98c); this kernel avoids both problems:
+
+  * rows are laid out (B, S_pad) with S_pad 16-aligned, and the grid maps
+    ONE SAMPLE per row-block — the per-sample additive term (t-embedding +
+    bias + conditioning projection) is a single broadcast row, no gathers,
+    no in-kernel reshapes;
+  * layer2 runs as ONE dense block-diagonal dot (n*hidden, n*out) per
+    hidden tile — the MXU sees a 96/128-lane GEMM instead of n serial
+    3-lane dots (the padding waste is the same, the serialization is gone);
+  * the hidden activation lives only in VMEM: the grid's inner axis tiles
+    the n*hidden dimension and accumulates layer2 partials into the
+    revisited (S_pad, n*out) output block.
+
+HBM traffic per evaluation drops from ~315 MB (bf16 einsum) to ~12 MB
+(p + weights + out), leaving the op compute-bound.  Used on the TPU
+predict path only (the ODE sampler runs under no-grad); every other
+backend and the training loss keep the einsum formulation.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_dist import tpu_backend
+
+
+def _kernel(p_ref, w1_ref, a_ref, w2_ref, b2_ref, out_ref):
+    """One sample per cell.
+
+    p (S_pad, C) bf16; w1 (C, ND) bf16; a (1, 1, ND) f32 (3-D so the
+    per-sample block keeps its last two dims lowering-legal); w2 (ND, NO)
+    bf16; b2 (1, NO) f32; out (S_pad, NO) f32.  w1/w2/b2 block indices are
+    constant across the grid, so the weights are fetched from HBM once and
+    stay VMEM-resident — tiling the hidden axis instead (the first design)
+    re-fetched the cycling weight tiles every step, ~270 MB/eval.
+    """
+    h = jnp.dot(p_ref[...], w1_ref[...],
+                preferred_element_type=jnp.float32)          # (S_pad, ND) MXU
+    h = jnp.maximum(h + a_ref[0], 0.0).astype(p_ref.dtype)
+    out_ref[...] = jnp.dot(h, w2_ref[...],
+                           preferred_element_type=jnp.float32) + b2_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("S", "interpret"))
+def _pallas_bank_mlp(p, w1, a, w2bd, b2, S: int, interpret: bool = False):
+    """p (B*S, C) bf16; w1 (C, ND) bf16; a (B, ND) f32; w2bd (ND, NO) bf16
+    block-diagonal; b2 (1, NO) f32 -> (B*S, NO) f32."""
+    R, C = p.shape
+    ND = w1.shape[1]
+    NO = w2bd.shape[1]
+    B = R // S
+    s_pad = max(16, -(-S // 16) * 16)
+    if s_pad != S:
+        p = jnp.pad(p.reshape(B, S, C), ((0, 0), (0, s_pad - S), (0, 0)))
+        p = p.reshape(B * s_pad, C)
+    # VMEM budget per cell at hand-head blessed shapes: h f32 (112, 8192)
+    # 3.7 MB + w1 4.2 + w2 1.6 + small double-buffered p/a/out blocks —
+    # ~10 MB of the ~16 MB/core
+    grid = (B,)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s_pad, C), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, ND), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, ND), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ND, NO), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NO), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s_pad, NO), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * s_pad, NO), jnp.float32),
+        interpret=interpret,
+    )(p, w1, a[:, None], w2bd, b2)
+    if s_pad != S:
+        out = out.reshape(B, s_pad, NO)[:, :S].reshape(B * S, NO)
+    return out
+
+
+def block_diag_w2(w2: jax.Array) -> jax.Array:
+    """(n, D, O) layer2 bank weights -> dense block-diagonal (n*D, n*O)."""
+    n, D, O = w2.shape
+    eye = jnp.eye(n, dtype=w2.dtype)
+    # (n, D, n, O): bank k's (D, O) block lands at row-block k, col-block k
+    return (eye[:, None, :, None] * w2[:, :, None, :]).reshape(n * D, n * O)
+
+
+def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
+                   w2: jax.Array, b2: jax.Array, S: int,
+                   use_pallas: bool | None = None,
+                   interpret: bool = False) -> jax.Array:
+    """Fused relu-MLP over banks for the per-sample-conditioning fast path.
+
+    pose_feat: (B*S, C) hypothesis features (sample-major);
+    w1_pose:   (n, C, D) layer1 pose-slice bank weights;
+    add:       (B, n, D) per-sample additive term (t-embedding + bias1 +
+               conditioning feature projection);
+    w2:        (n, D, O) layer2 bank weights;  b2: (n, O) bias;
+    S:         hypotheses per sample  ->  (B*S, n, O) f32.
+
+    Falls back to the einsum formulation off-TPU (and in interpret-mode
+    tests the kernel runs unlowered for parity).
+    """
+    B, n, D = add.shape
+    O = w2.shape[-1]
+    if use_pallas is None:
+        use_pallas = tpu_backend()
+    if not use_pallas and not interpret:
+        h = jnp.einsum("bc,ncd->bnd", pose_feat, w1_pose.astype(pose_feat.dtype))
+        h = h.reshape(B, S, n, D) + add[:, None].astype(h.dtype)
+        h = jnp.maximum(h, 0.0).reshape(B * S, n, D)
+        out = jnp.einsum("bnc,ncd->bnd", h, w2.astype(h.dtype))
+        return (out + b2.astype(out.dtype)).astype(jnp.float32)
+    cd = jnp.bfloat16
+    w1_flat = jnp.transpose(w1_pose, (1, 0, 2)).reshape(w1_pose.shape[1], n * D)
+    out = _pallas_bank_mlp(
+        pose_feat.astype(cd), w1_flat.astype(cd),
+        add.reshape(B, n * D).astype(jnp.float32),
+        block_diag_w2(w2).astype(cd),
+        b2.reshape(1, n * O).astype(jnp.float32),
+        S, interpret=interpret)
+    return out.reshape(B * S, n, O)
