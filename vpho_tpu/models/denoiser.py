@@ -25,6 +25,7 @@ optimizer never sees them.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -140,6 +141,7 @@ class BankMLPHead(nn.Module):
         if (feat_proj is not None and feat_proj.shape[0] != pose_feat.shape[0]
                 and t_feat.shape[0] == 1 and self.dtype is not None
                 and self.num * self.out_dim >= 32
+                and not os.environ.get("VPHO_DISABLE_FUSED_BANK")
                 and pallas_bank.tpu_backend()):
             # ODE-loop fast path on TPU under the bf16 policy: ONE fused
             # Pallas kernel (layer1 + ReLU + block-diagonal layer2) that
