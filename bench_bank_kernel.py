@@ -18,7 +18,7 @@ S = int(os.environ.get("BENCH_SAMPLES", "100"))
 STEPS = int(os.environ.get("BENCH_STEPS", "50"))
 
 
-def run(name, n, D, O, use_pallas):
+def run(name, n, D, O, use_pallas, group=1):
     C = 256
     ks = jax.random.split(jax.random.PRNGKey(0), 5)
     p0 = jax.random.normal(ks[0], (B * S, C), jnp.bfloat16)
@@ -30,7 +30,8 @@ def run(name, n, D, O, use_pallas):
     @jax.jit
     def scan_fn(p0, seed):
         def step(p, _):
-            out = fused_bank_mlp(p, w1p, add, w2, b2, S, use_pallas=use_pallas)
+            out = fused_bank_mlp(p, w1p, add, w2, b2, S, use_pallas=use_pallas,
+                                 group=group)
             # feed a slice of the output back so steps are serialized
             upd = out.reshape(B * S, n * O).sum(-1, keepdims=True)
             return (p + (upd * 1e-6 + seed * 1e-9).astype(p.dtype), None)
@@ -53,5 +54,7 @@ def run(name, n, D, O, use_pallas):
 
 run("hand_einsum", 32, 256, 3, False)
 run("hand_fused", 32, 256, 3, True)
+run("hand_fused_g2", 32, 256, 3, True, group=2)
+run("hand_fused_g4", 32, 256, 3, True, group=4)
 run("obj_einsum", 3, 256, 3, False)
 run("obj_fused", 3, 256, 3, True)

@@ -37,7 +37,7 @@ class TestStepSensitivity:
         sde, mu, score = setup
         key = jax.random.PRNGKey(0)
         outs = {}
-        for method in ("euler", "heun", "rk4"):
+        for method in ("euler", "heun", "rk4", "dpm2m", "dpm3m"):
             _, x = ode_sampler(score, key, 64, 4, sde, 0.65, 50, method=method)
             outs[method] = np.asarray(x)
         heun_vs_rk4 = np.abs(outs["heun"] - outs["rk4"]).max()
@@ -45,6 +45,14 @@ class TestStepSensitivity:
         assert heun_vs_rk4 < 2e-2, heun_vs_rk4
         # euler is visibly worse — the ordering must hold
         assert heun_vs_rk4 < euler_vs_rk4
+        # the multistep DPM-Solver++ variants integrate the same ODE: both
+        # must land within the fixed-step family's agreement envelope
+        assert np.abs(outs["dpm2m"] - outs["rk4"]).max() < 2e-2
+        assert np.abs(outs["dpm3m"] - outs["rk4"]).max() < 2e-2
+        # order-3 multistep tracks the true flow tighter than order-2 on
+        # this analytic score
+        assert (np.abs(outs["dpm3m"] - outs["rk4"]).max()
+                <= np.abs(outs["dpm2m"] - outs["rk4"]).max() + 1e-6)
 
     def test_karras_grid_shape_and_fidelity(self, setup):
         """The karras schedule option: correct endpoints/monotonicity, and

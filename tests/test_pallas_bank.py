@@ -72,6 +72,32 @@ def test_fused_f32_exactish():
     assert err.max() / scale < 0.02, err.max() / scale
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_fused_group_matches_einsum(group):
+    # multi-sample-per-cell packing (VPHO_BANK_GROUP) must be a pure layout
+    # change: same outputs as the one-sample grid
+    B, S, n, D, O = 4, 20, 4, 256, 3
+    p, w1p, add, w2, b2 = _case(jax.random.PRNGKey(11), B, S, n, D, O)
+    ref = fused_bank_mlp(p, w1p, add, w2, b2, S,
+                         use_pallas=True, interpret=True, group=1)
+    got = fused_bank_mlp(p, w1p, add, w2, b2, S,
+                         use_pallas=True, interpret=True, group=group)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fused_group_nondivisible_falls_back():
+    # B=3 not divisible by group=2 -> silently uses the 1-sample grid
+    B, S, n, D, O = 3, 16, 4, 256, 3
+    p, w1p, add, w2, b2 = _case(jax.random.PRNGKey(13), B, S, n, D, O)
+    ref = fused_bank_mlp(p, w1p, add, w2, b2, S,
+                         use_pallas=True, interpret=True, group=1)
+    got = fused_bank_mlp(p, w1p, add, w2, b2, S,
+                         use_pallas=True, interpret=True, group=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fallback_matches_einsum_exactly():
     p, w1p, add, w2, b2 = _case(jax.random.PRNGKey(3), 2, 10, 4, 256, 3)
     ref = _einsum_ref(p, w1p, add, w2, b2, 10).astype(jnp.float32)

@@ -278,7 +278,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_regression_as_candidate", action="store_false")
     # TPU-build extras
     p.add_argument("--ode_method", type=str, default="dpm2m",
-                   choices=["rk4", "heun", "euler", "dpm2m"])
+                   choices=["rk4", "heun", "euler", "dpm2m", "dpm3m"])
     p.add_argument("--ode_schedule", type=str, default="uniform",
                    choices=["uniform", "karras"])
     p.add_argument("--compute_dtype", type=str, default="float32",

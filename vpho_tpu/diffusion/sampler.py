@@ -70,6 +70,64 @@ def time_grid(sde: SDE, T0: float, num_steps: int, schedule: str = "uniform",
     raise NotImplementedError(schedule)
 
 
+def _dpm3m_scan(score_fn: ScoreFn, sde: SDE, x0: jax.Array, ts: jax.Array,
+                return_trajectory: bool):
+    """DPM-Solver++(3M): ONE score eval per grid transition, 3rd order.
+
+    Lu et al. 2022 (arXiv:2211.01095), multistep data-prediction variant at
+    order 3: extrapolate the denoised prediction D through the TWO previous
+    steps' D values in log-SNR time (Taylor form with phi_2/phi_3
+    coefficients).  Transition i -> i+1 (h = lam_{i+1}-lam_i, h0/h1 the two
+    previous intervals, r0 = h0/h, r1 = h1/h):
+
+        D1_0 = (D_i - D_{i-1}) / r0
+        D1_1 = (D_{i-1} - D_{i-2}) / r1
+        D1   = D1_0 + r0/(r0+r1) (D1_0 - D1_1)
+        D2   = (D1_0 - D1_1) / (r0+r1)
+        x_{i+1} = (sig_{i+1}/sig_i) x_i - alp_{i+1} [phi_1 D_i
+                    - phi_2 D1 + phi_3 D2]
+        phi_1 = expm1(-h),  phi_2 = phi_1/h + 1,  phi_3 = phi_2/h - 1/2
+
+    (first/second transitions run at order 1/2).  Same score-eval count as
+    dpm2m; the value is the h^3 local error, which keeps a REDUCED step
+    grid inside the reference RK45's own error band (the promotion rule) —
+    see tests/test_torch_parity.py and docs/PERF.md for the measured gate.
+    """
+    flat = jnp.reshape(ts, (-1,))
+    alp = jnp.reshape(sde.marginal_prob(jnp.ones_like(flat), flat)[0], (-1,))
+    sig = jnp.reshape(sde.marginal_prob(jnp.zeros_like(flat), flat)[1], (-1,))
+    lam = jnp.log(alp) - jnp.log(sig)
+    h = lam[1:] - lam[:-1]                                   # (n-1,), > 0
+    ones = jnp.ones((1,), h.dtype)
+    r0 = jnp.concatenate([ones, h[:-1] / h[1:]])             # h_{i-1}/h_i
+    r1 = jnp.concatenate([ones, ones, h[:-2] / h[2:]])       # h_{i-2}/h_i
+
+    def step(carry, i):
+        x, d_p1, d_p2 = carry
+        score = score_fn(x, jnp.reshape(ts[i], (1, 1)))
+        score = jnp.nan_to_num(score, nan=0.0, posinf=0.0, neginf=0.0)
+        d = (x + (sig[i] ** 2) * score) / alp[i]
+        phi1 = jnp.expm1(-h[i])
+        phi2 = phi1 / h[i] + 1.0
+        phi3 = phi2 / h[i] - 0.5
+        d1_0 = (d - d_p1) / r0[i]
+        d1_1 = (d_p1 - d_p2) / r1[i]
+        d1 = d1_0 + (r0[i] / (r0[i] + r1[i])) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0[i] + r1[i])
+        base = (sig[i + 1] / sig[i]) * x - alp[i + 1] * phi1 * d
+        x1 = base                                            # order 1
+        x2 = base + alp[i + 1] * phi2 * d1_0                 # order 2 (taylor)
+        x3 = base + alp[i + 1] * (phi2 * d1 - phi3 * d2)     # order 3
+        x_new = jnp.where(i == 0, x1, jnp.where(i == 1, x2, x3))
+        return (x_new, d, d_p1), (x_new if return_trajectory
+                                  else jnp.zeros((0,), x.dtype))
+
+    (x_final, _, _), traj = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
+        jnp.arange(ts.shape[0] - 1))
+    return x_final, traj
+
+
 def _dpm2m_scan(score_fn: ScoreFn, sde: SDE, x0: jax.Array, ts: jax.Array,
                 return_trajectory: bool):
     """DPM-Solver++(2M): ONE score eval per grid transition, 2nd order.
@@ -145,8 +203,9 @@ def ode_sampler(
 
     ts = time_grid(sde, T0, num_steps, schedule)
 
-    if method == "dpm2m":
-        x_final, traj = _dpm2m_scan(score_fn, sde, x0, ts, return_trajectory)
+    if method in ("dpm2m", "dpm3m"):
+        scan = _dpm2m_scan if method == "dpm2m" else _dpm3m_scan
+        x_final, traj = scan(score_fn, sde, x0, ts, return_trajectory)
         if return_trajectory:
             trajectory = jnp.concatenate(
                 [x0[:, None], jnp.moveaxis(traj, 0, 1)], axis=1)

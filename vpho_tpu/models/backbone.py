@@ -138,5 +138,9 @@ class FPNBackbone(nn.Module):
 
         p2_h = nn.Conv(256, (3, 3), padding=1, name="smooth3_h", dtype=d)(p2_h)
         p2_o = nn.Conv(256, (3, 3), padding=1, name="smooth3_o", dtype=d)(p2_o)
-        # FPN heads consume f32 features (ROI sampling + losses)
-        return p2_h.astype(jnp.float32), p2_o.astype(jnp.float32)
+        # Outputs stay in the policy dtype: the consumers are the three
+        # roi_align tent contractions (MXU ops that accumulate f32) and the
+        # heatmap/encoder heads, which run under the same policy anyway.
+        # Materializing an f32 copy here doubled the (B, 64, 64, 256) x2
+        # read traffic of every ROI crop under the bf16 policy.
+        return p2_h, p2_o

@@ -32,6 +32,7 @@ backend and the training loss keep the einsum formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,25 +42,35 @@ from jax.experimental.pallas import tpu as pltpu
 from .pallas_dist import tpu_backend
 
 
-def _kernel(p_ref, w1_ref, a_ref, w2_ref, b2_ref, out_ref):
-    """One sample per cell.
+def _kernel(p_ref, w1_ref, a_ref, w2_ref, b2_ref, out_ref, *, s_pad: int):
+    """``G`` samples per cell (G = a_ref block rows).
 
-    p (S_pad, C) bf16; w1 (C, ND) bf16; a (1, 1, ND) f32 (3-D so the
+    p (G*S_pad, C) bf16; w1 (C, ND) bf16; a (G, 1, ND) f32 (3-D so the
     per-sample block keeps its last two dims lowering-legal); w2 (ND, NO)
-    bf16; b2 (1, NO) f32; out (S_pad, NO) f32.  w1/w2/b2 block indices are
+    bf16; b2 (1, NO) f32; out (G*S_pad, NO) f32.  w1/w2/b2 block indices are
     constant across the grid, so the weights are fetched from HBM once and
     stay VMEM-resident — tiling the hidden axis instead (the first design)
-    re-fetched the cycling weight tiles every step, ~270 MB/eval.
+    re-fetched the cycling weight tiles every step, ~270 MB/eval.  G > 1
+    packs several samples into one cell: the layer dots see M = G*S_pad
+    rows (S=100 pads to 112 — under the 128-row MXU tile at G=1) and the
+    grid/DMA overhead amortizes; the per-sample additive term applies via a
+    sublane-split reshape (S_pad is 8-aligned, so the split is layout-free).
     """
+    g = a_ref.shape[0]
     h = jnp.dot(p_ref[...], w1_ref[...],
-                preferred_element_type=jnp.float32)          # (S_pad, ND) MXU
-    h = jnp.maximum(h + a_ref[0], 0.0).astype(p_ref.dtype)
+                preferred_element_type=jnp.float32)        # (G*S_pad, ND) MXU
+    if g > 1:
+        h = h.reshape(g, s_pad, h.shape[-1]) + a_ref[...]
+        h = jnp.maximum(h, 0.0).astype(p_ref.dtype).reshape(g * s_pad, -1)
+    else:
+        h = jnp.maximum(h + a_ref[0], 0.0).astype(p_ref.dtype)
     out_ref[...] = jnp.dot(h, w2_ref[...],
                            preferred_element_type=jnp.float32) + b2_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("S", "interpret"))
-def _pallas_bank_mlp(p, w1, a, w2bd, b2, S: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("S", "interpret", "group"))
+def _pallas_bank_mlp(p, w1, a, w2bd, b2, S: int, interpret: bool = False,
+                     group: int = 1):
     """p (B*S, C) bf16; w1 (C, ND) bf16; a (B, ND) f32; w2bd (ND, NO) bf16
     block-diagonal; b2 (1, NO) f32 -> (B*S, NO) f32."""
     R, C = p.shape
@@ -70,26 +81,27 @@ def _pallas_bank_mlp(p, w1, a, w2bd, b2, S: int, interpret: bool = False):
     if s_pad != S:
         p = jnp.pad(p.reshape(B, S, C), ((0, 0), (0, s_pad - S), (0, 0)))
         p = p.reshape(B * s_pad, C)
-    # VMEM budget per cell at hand-head blessed shapes: h f32 (112, 8192)
-    # 3.7 MB + w1 4.2 + w2 1.6 + small double-buffered p/a/out blocks —
-    # ~10 MB of the ~16 MB/core
-    grid = (B,)
+    g = group if group > 0 and B % group == 0 else 1
+    # VMEM budget per cell at hand-head blessed shapes (G=1): h f32
+    # (112, 8192) 3.7 MB + w1 4.2 + w2 1.6 + small double-buffered p/a/out
+    # blocks — ~10 MB of the ~16 MB/core (G=2 adds one more h tile)
+    grid = (B // g,)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, s_pad=s_pad),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((s_pad, C), lambda i: (i, 0),
+            pl.BlockSpec((g * s_pad, C), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C, ND), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, ND), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, 1, ND), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ND, NO), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, NO), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((s_pad, NO), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((g * s_pad, NO), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * s_pad, NO), jnp.float32),
         interpret=interpret,
@@ -110,7 +122,8 @@ def block_diag_w2(w2: jax.Array) -> jax.Array:
 def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
                    w2: jax.Array, b2: jax.Array, S: int,
                    use_pallas: bool | None = None,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False,
+                   group: int | None = None) -> jax.Array:
     """Fused relu-MLP over banks for the per-sample-conditioning fast path.
 
     pose_feat: (B*S, C) hypothesis features (sample-major);
@@ -134,11 +147,17 @@ def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
         out = jnp.einsum("bnc,ncd->bnd", h, w2.astype(h.dtype))
         return (out + b2.astype(out.dtype)).astype(jnp.float32)
     cd = jnp.bfloat16
+    if group is None:
+        # 2 samples/cell by default: S=100 pads to 112 rows — under the
+        # 128-row MXU tile — so packing lifts utilization (0.453 -> 0.423
+        # ms/eval measured at blessed shapes; g=4 is flat).  Non-divisible
+        # batches fall back to the 1-sample grid inside _pallas_bank_mlp.
+        group = int(os.environ.get("VPHO_BANK_GROUP", "2"))
     w1_flat = jnp.transpose(w1_pose, (1, 0, 2)).reshape(w1_pose.shape[1], n * D)
     out = _pallas_bank_mlp(
         pose_feat.astype(cd), w1_flat.astype(cd),
         add.reshape(B, n * D).astype(jnp.float32),
         block_diag_w2(w2).astype(cd),
         b2.reshape(1, n * O).astype(jnp.float32),
-        S, interpret=interpret)
+        S, interpret=interpret, group=group)
     return out.reshape(B * S, n, O)
