@@ -53,12 +53,13 @@ def main():
     # shows the bf16 heun@50 end-state error (0.0381) stays INSIDE the
     # reference's own RK45 integration-error band (0.0462) — the dtype is
     # not the accuracy bottleneck, the shared integration budget is.
-    # dpm2m default: DPM-Solver++(2M), one score eval per step at 2nd
-    # order; same promotion gate as heun/bf16 (end-state error 0.0358 vs
-    # heun 0.0360, both inside the reference RK45's own 0.0462 band) and
-    # measured +37% over heun at the blessed config (docs/PERF.md r3)
+    # dpm3m default: DPM-Solver++(3M), one score eval per step at 3rd
+    # order; same promotion gate as heun/dpm2m/bf16 (end-state error 0.0314
+    # vs dpm2m 0.0358 / heun 0.0360, all inside the reference RK45's own
+    # 0.0462 band) at identical cost to dpm2m (874.9 vs 856.3 f/s measured,
+    # within host swing; docs/PERF.md r4)
     dtype_name = os.environ.get("BENCH_DTYPE", "bfloat16")
-    method = os.environ.get("BENCH_METHOD", "dpm2m")
+    method = os.environ.get("BENCH_METHOD", "dpm3m")
     from vpho_tpu.utils import transforms as T
 
     T.QUAT_MEAN_IMPL = os.environ.get("BENCH_QUAT", T.QUAT_MEAN_IMPL)

@@ -65,6 +65,40 @@ class TestTrunk:
         assert all(np.isfinite(np.asarray(v)).all()
                    for v in jax.tree.leaves(out))
 
+    def test_bf16_policy_accuracy_band(self, ctx, model_and_vars):
+        """The --compute_dtype bfloat16 policy runs the conv trunk AND the
+        roi_align feature contraction in bf16 (params stay f32).  Pin a
+        measured accuracy band vs the f32 trunk on the same weights so a
+        precision regression on this path (e.g. an op silently moving to a
+        wider accumulation-free form) fails loudly.  Measured 2026-08-20
+        (random init, eval BN, B=2/64px): encoding rel-err ~2e-2, heatmap
+        abs-err ~2e-2 on O(1) activations — bf16 rounding scale, far below
+        the trunk's own signal."""
+        model_f32, variables = model_and_vars
+        model_bf16 = VPHONet(compute_dtype=jnp.bfloat16)
+        batch = make_batch(ctx, jax.random.PRNGKey(9), 2, 64)
+        out32 = jax.jit(lambda v, b: model_f32.apply(
+            v, b, False, method=VPHONet.trunk))(variables, batch)
+        out16 = jax.jit(lambda v, b: model_bf16.apply(
+            v, b, False, method=VPHONet.trunk))(variables, batch)
+        for key in ("encoding_hand", "encoding_obj"):
+            a, b = np.asarray(out32[key]), np.asarray(out16[key])
+            scale = np.abs(a).max()
+            assert scale > 0.0
+            rel = np.abs(a - b).max() / scale
+            assert rel < 0.08, (key, rel)
+        for key in ("pd_hm_hand", "pd_hm_obj"):
+            a, b = np.asarray(out32[key]), np.asarray(out16[key])
+            scale = max(np.abs(a).max(), 1e-3)
+            rel = np.abs(a - b).max() / scale
+            assert rel < 0.08, (key, rel)
+        # regression outputs (mano pose/shape) ride the same features
+        for key in ("pd_mano_pose", "pd_mano_shape"):
+            a, b = np.asarray(out32[key]), np.asarray(out16[key])
+            scale = max(np.abs(a).max(), 1e-3)
+            rel = np.abs(a - b).max() / scale
+            assert rel < 0.08, (key, rel)
+
 
 class TestTrain:
     def test_loss_and_grads(self, ctx, model_and_vars):

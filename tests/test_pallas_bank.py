@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from vpho_tpu.ops.pallas_bank import block_diag_w2, fused_bank_mlp
+from vpho_tpu.ops.pallas_bank import block_diag_w2, clamp_group, fused_bank_mlp
 
 
 def _einsum_ref(p, w1p, add, w2, b2, S):
@@ -96,6 +96,21 @@ def test_fused_group_nondivisible_falls_back():
                          use_pallas=True, interpret=True, group=2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_clamp_group_vmem_budget():
+    """The VPHO_BANK_GROUP knob is clamped against the per-cell VMEM
+    estimate: hand-head blessed shapes (S=100, C=256, n=32, D=256, O=3)
+    cap at 2 — g=4's f32 hidden tile alone is ~14.7 MB, over budget."""
+    hand = dict(S=100, C=256, n=32, D=256, O=3)
+    assert clamp_group(1, **hand) == 1
+    assert clamp_group(2, **hand) == 2
+    assert clamp_group(4, **hand) == 2      # clamped: cell would spill
+    assert clamp_group(64, **hand) == 2
+    assert clamp_group(0, **hand) == 1      # floor at 1
+    assert clamp_group(-3, **hand) == 1
+    # tiny shapes keep whatever the caller asked for
+    assert clamp_group(4, S=16, C=256, n=4, D=256, O=3) == 4
 
 
 def test_fallback_matches_einsum_exactly():

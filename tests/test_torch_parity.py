@@ -196,11 +196,19 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     zero_init = jnp.zeros((B, dim)) - sde.prior(key, (B, dim), T=T0) + x0
 
     ours = {}
-    for method in ("rk4", "heun", "dpm2m"):
+    for method in ("rk4", "heun", "dpm2m", "dpm3m"):
         traj, x = ode_sampler(score_fn, key, B, dim, sde, T0, steps,
                               method=method, init_x=zero_init)
         assert np.allclose(np.asarray(traj[:, 0]), x0, atol=1e-5)
         ours[method] = np.asarray(x)
+    # reduced-step study (report + gate): the pipeline is HBM-bound on
+    # per-eval reads, so fewer grid transitions are a direct throughput
+    # lever IF fidelity holds — measured against the same truth below
+    for method in ("dpm2m", "dpm3m"):
+        for rsteps in (25, 32):
+            _, x = ode_sampler(score_fn, key, B, dim, sde, T0, rsteps,
+                               method=method, init_x=zero_init)
+            ours[f"{method}@{rsteps}"] = np.asarray(x)
 
     # bf16 compute-dtype variant of the same denoiser (params stay f32):
     # the promotion gate for --compute_dtype bfloat16 on the eval path
@@ -217,6 +225,9 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     _, x_dpm_bf16 = ode_sampler(score_fn_bf16, key, B, dim, sde, T0, steps,
                                 method="dpm2m", init_x=zero_init)
     ours["dpm2m_bf16"] = np.asarray(x_dpm_bf16)
+    _, x_dpm3_bf16 = ode_sampler(score_fn_bf16, key, B, dim, sde, T0, steps,
+                                 method="dpm3m", init_x=zero_init)
+    ours["dpm3m_bf16"] = np.asarray(x_dpm3_bf16)
 
     torch.manual_seed(123)
     probe = prior_fn((B, dim), T=T0)
@@ -248,18 +259,30 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
         drift, diff = sde_fn(ve)
         g = tden({"feat": torch.from_numpy(feat),
                   "sampled_pose": torch.from_numpy(xT), "t": ve})
-        truth = (torch.from_numpy(xT)
-                 + (drift - diff ** 2 * g) * ((1 - eps) / steps)).numpy()
+
+        def truth_for(n):
+            # the final reverse-diffusion predictor step's dt depends on the
+            # step count — reduced-step runs get a matching truth
+            return (torch.from_numpy(xT)
+                    + (drift - diff ** 2 * g) * ((1 - eps) / n)).numpy()
+
+        truth = truth_for(steps)
 
     err_ref = np.abs(ref_x - truth).max()
     err_rk4 = np.abs(ours["rk4"] - truth).max()
     err_heun = np.abs(ours["heun"] - truth).max()
     err_dpm = np.abs(ours["dpm2m"] - truth).max()
+    err_dpm3 = np.abs(ours["dpm3m"] - truth).max()
     err_bf16 = np.abs(ours["heun_bf16"] - truth).max()
+    reduced = {k: np.abs(v - truth_for(int(k.split("@")[1]))).max()
+               for k, v in ours.items() if "@" in k}
     print(f"ode errs vs truth: ref_rk45={err_ref:.4f} rk4@50={err_rk4:.4f} "
           f"heun@50={err_heun:.4f} dpm2m@50={err_dpm:.4f} "
+          f"dpm3m@50={err_dpm3:.4f} "
           f"heun@50_bf16={err_bf16:.4f} "
-          f"dpm2m@50_bf16={np.abs(ours['dpm2m_bf16'] - truth).max():.4f}")
+          f"dpm2m@50_bf16={np.abs(ours['dpm2m_bf16'] - truth).max():.4f} "
+          f"dpm3m@50_bf16={np.abs(ours['dpm3m_bf16'] - truth).max():.4f} "
+          + " ".join(f"{k}={v:.4f}" for k, v in sorted(reduced.items())))
     # our default integrator must be at least as faithful as the reference's
     assert err_rk4 < err_ref, (err_rk4, err_ref)
     # heun stays within the reference's own error band (promotion gate)
@@ -267,6 +290,12 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     # dpm2m (1 eval/step) must ALSO stay within the reference's band — the
     # promotion gate for --ode_method dpm2m (half heun's score evals)
     assert err_dpm < 1.2 * err_ref, (err_dpm, err_ref)
+    # dpm3m shares dpm2m's eval count; its 3rd-order local error must stay
+    # inside the same band (the gate the sampler docstring points at),
+    # in f32 and under the bf16 compute policy (the eval default)
+    assert err_dpm3 < 1.2 * err_ref, (err_dpm3, err_ref)
+    err_dpm3_bf16 = np.abs(ours["dpm3m_bf16"] - truth).max()
+    assert err_dpm3_bf16 < 1.2 * err_ref, (err_dpm3_bf16, err_ref)
     # ...and under the bf16 compute policy (the bench default combines
     # dpm2m + bf16; measured 2026-08-19: 0.0375 vs f32 dpm2m 0.0358 —
     # integration error dominates rounding, same story as heun_bf16)

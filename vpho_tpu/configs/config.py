@@ -130,7 +130,7 @@ class Config:
     aggregation_mode_obj: str = "heatmap_cascade"
     use_regression_as_candidate: bool = True
     # TPU-build extras (not in the reference CLI)
-    ode_method: str = "dpm2m"  # promotion rationale: ModelConfig.ode_method
+    ode_method: str = "dpm3m"  # promotion rationale: ModelConfig.ode_method
     ode_schedule: str = "uniform"  # 'karras' available; study: docs/PERF.md r3
     compute_dtype: str = "float32"
     # dominant-eigenvector solve inside quaternion averaging: eigh | power
@@ -277,7 +277,7 @@ def build_parser() -> argparse.ArgumentParser:
                             "average_all", "random"])
     p.add_argument("--use_regression_as_candidate", action="store_false")
     # TPU-build extras
-    p.add_argument("--ode_method", type=str, default="dpm2m",
+    p.add_argument("--ode_method", type=str, default="dpm3m",
                    choices=["rk4", "heun", "euler", "dpm2m", "dpm3m"])
     p.add_argument("--ode_schedule", type=str, default="uniform",
                    choices=["uniform", "karras"])

@@ -89,9 +89,12 @@ def _dpm3m_scan(score_fn: ScoreFn, sde: SDE, x0: jax.Array, ts: jax.Array,
         phi_1 = expm1(-h),  phi_2 = phi_1/h + 1,  phi_3 = phi_2/h - 1/2
 
     (first/second transitions run at order 1/2).  Same score-eval count as
-    dpm2m; the value is the h^3 local error, which keeps a REDUCED step
-    grid inside the reference RK45's own error band (the promotion rule) —
-    see tests/test_torch_parity.py and docs/PERF.md for the measured gate.
+    dpm2m; the h^3 local error tracks the true ODE ~12% tighter at the
+    blessed 50-step grid (err 0.0314 vs dpm2m's 0.0358), which promoted it
+    to the eval default (r4).  Reduced step grids (25/32) fail the 1.2x
+    reference-band rule at every order, so the step count stays at 50 —
+    the gate lives in tests/test_torch_parity.py (f32 + bf16 asserts);
+    the study numbers are in docs/PERF.md.
     """
     flat = jnp.reshape(ts, (-1,))
     alp = jnp.reshape(sde.marginal_prob(jnp.ones_like(flat), flat)[0], (-1,))

@@ -58,14 +58,17 @@ class ModelConfig:
     sample_num: int = 50
     topk_hand: int = 15
     topk_obj: int = 5
-    # dpm2m by default: DPM-Solver++(2M) multistep, ONE score eval/step
-    # (vs heun's 2, rk4's 4) at 2nd order — and still MORE faithful to the
-    # true probability-flow ODE than the reference's adaptive RK45 at the
-    # blessed 50-step budget (tests/test_torch_parity.py four-way study:
-    # dpm2m err 0.0358, heun 0.0360, rk4 0.011, reference RK45 0.046).
-    # Measured +37% eval throughput over heun (docs/PERF.md r3).
-    # --ode_method heun/rk4/euler restore the Runge-Kutta integrators.
-    ode_method: str = "dpm2m"
+    # dpm3m by default: DPM-Solver++(3M) multistep, ONE score eval/step
+    # (vs heun's 2, rk4's 4) at 3rd order — same cost as dpm2m (identical
+    # eval count; measured 874.9 vs 856.3 f/s/chip, within host swing) with
+    # a tighter track of the true probability-flow ODE, and still MORE
+    # faithful than the reference's adaptive RK45 at the blessed 50-step
+    # budget (tests/test_torch_parity.py study: dpm3m err 0.0314, dpm2m
+    # 0.0358, heun 0.0360, rk4 0.011, reference RK45 0.046; bf16 variants
+    # 0.0374/0.0375/0.0381).  Reduced-step grids (25/32) fail the 1.2x
+    # fidelity band at EVERY order — eval count stays at the blessed 50.
+    # --ode_method dpm2m/heun/rk4/euler restore the other integrators.
+    ode_method: str = "dpm3m"
     # grid spacing: 'uniform' (reference t_eval) or 'karras' (sigma-rho).
     # Studied and NOT promoted: for the VE SDE uniform-t is already
     # geometric in sigma, so karras buys nothing (docs/PERF.md r3)

@@ -111,6 +111,32 @@ def _pallas_bank_mlp(p, w1, a, w2bd, b2, S: int, interpret: bool = False,
     return out
 
 
+def clamp_group(group: int, S: int, C: int, n: int, D: int, O: int) -> int:
+    """Clamp the samples-per-cell knob against the per-cell VMEM budget.
+
+    The hidden f32 tile (g*s_pad, n*D) dominates the cell footprint;
+    weights (w1 + block-diag w2, bf16) are grid-constant; p/a/out blocks
+    are double-buffered.  Keep the estimate under ~14 MB of the ~16 MB/core
+    — at hand-head blessed shapes the measured-good g=2 sums to ~13 MB and
+    stays allowed, while g=4 (hidden tile alone ~14.7 MB, ~21.5 MB total)
+    clamps down to 2.
+    """
+    group = max(1, group)
+    s_pad = max(16, -(-S // 16) * 16)
+    weight_bytes = 2 * (C * n * D + (n * D) * (n * O))
+    while group > 1:
+        rows = group * s_pad
+        cell_bytes = (4 * rows * n * D            # hidden f32
+                      + 2 * 2 * rows * C          # p bf16, double-buffered
+                      + 2 * 4 * rows * n * O      # out f32, double-buffered
+                      + 2 * 4 * group * n * D     # add f32, double-buffered
+                      + weight_bytes)
+        if cell_bytes <= 14 * 1024 * 1024:
+            break
+        group //= 2
+    return group
+
+
 def block_diag_w2(w2: jax.Array) -> jax.Array:
     """(n, D, O) layer2 bank weights -> dense block-diagonal (n*D, n*O)."""
     n, D, O = w2.shape
@@ -152,7 +178,14 @@ def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
         # 128-row MXU tile — so packing lifts utilization (0.453 -> 0.423
         # ms/eval measured at blessed shapes; g=4 is flat).  Non-divisible
         # batches fall back to the 1-sample grid inside _pallas_bank_mlp.
-        group = int(os.environ.get("VPHO_BANK_GROUP", "2"))
+        # Safe range: 1-2 at hand-head shapes; larger values are clamped
+        # against the VMEM budget below (g=4 already puts the f32 hidden
+        # tile at ~14.7 MB — at/over the ~16 MB/core budget).
+        try:
+            group = int(os.environ.get("VPHO_BANK_GROUP", "2"))
+        except ValueError:
+            group = 2
+    group = clamp_group(group, S, pose_feat.shape[-1], n, D, O)
     w1_flat = jnp.transpose(w1_pose, (1, 0, 2)).reshape(w1_pose.shape[1], n * D)
     out = _pallas_bank_mlp(
         pose_feat.astype(cd), w1_flat.astype(cd),
