@@ -120,6 +120,23 @@ def main():
             pd["diff_final_hand_joint"][:, 0], root, is_right), gt_j), 2)
     print(json.dumps(rec), flush=True)
 
+    # integrator promotion gate on the SAME trained weights: identical state,
+    # identical eval batch and rng — only the ODE solver differs, so any
+    # task-metric gap is attributable to the integrator alone (the r4 dpm3m
+    # promotion evidence; module-level gate in tests/test_torch_parity.py)
+    import dataclasses as _dc
+    rec = {}
+    for m in ("heun", "dpm2m", "dpm3m"):
+        ctx_m = V.make_context(
+            _dc.replace(cfg.to_model_config(), ode_method=m))
+        pd_m = make_predict_step(model, ctx_m)(state, eval_batch,
+                                               jax.random.PRNGKey(5))
+        rec[f"agg_mje_mm_{m}"] = round(mje_mm(postprocess_hand_vert(
+            pd_m["agg_hand_joint"], root, is_right), gt_j), 2)
+        rec[f"one_mje_mm_{m}"] = round(mje_mm(postprocess_hand_vert(
+            pd_m["diff_final_hand_joint"][:, 0], root, is_right), gt_j), 2)
+    print(json.dumps(rec), flush=True)
+
 
 if __name__ == "__main__":
     main()

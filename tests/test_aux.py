@@ -84,6 +84,29 @@ class TestVizDumps:
             dt = pickle.load(f)
         assert dt["obj_name"] == reg.names[0]
 
+    def test_segmentation_dump(self, tmp_path):
+        """Reference layout (train_diff_hand_obj.py:701-718): one JPG of
+        [rgb obj crop | gt segm | pd segm] at the segm map's resolution.
+        Reachable only when a model emits obj_segm (same gate as :310-314)."""
+        from vpho_tpu.engine.viz import save_viz_segmentation
+
+        rng = np.random.RandomState(3)
+        p = save_viz_segmentation(
+            str(tmp_path), 4,
+            rgb_norm=rng.randn(64, 64, 3).astype(np.float32),
+            bbox_obj=np.array([8, 8, 40, 40], np.float32),
+            pd_obj_segm=rng.rand(32, 32).astype(np.float32),
+            gt_obj_segm=(rng.rand(32, 32) > 0.5).astype(np.float32))
+        import cv2
+
+        img = cv2.imread(p)
+        assert img is not None and img.shape == (32, 3 * 32, 3)
+        # degenerate bbox -> no file, no crash
+        assert save_viz_segmentation(
+            str(tmp_path), 5, rgb_norm=np.zeros((64, 64, 3)),
+            bbox_obj=np.array([50, 50, 50, 50]),
+            pd_obj_segm=np.zeros((8, 8)), gt_obj_segm=np.zeros((8, 8))) is None
+
     def test_mesh_force_dump(self, tmp_path):
         """Schema parity with the reference's save_viz_mesh_force
         (train_diff_hand_obj.py:842-852): mesh dicts carry vertex+face,

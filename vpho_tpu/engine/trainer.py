@@ -505,6 +505,16 @@ class Trainer:
                         pd_hm_obj=np.asarray(pd["obj_heatmap"][0]),
                         gt_hm_obj=np.asarray(jbatch["hm_obj"][0])
                         if "hm_obj" in jbatch else np.asarray(pd["obj_heatmap"][0]))
+                    # segmentation viz only when a model emits obj_segm —
+                    # same gate as the reference (:310-314); vpho_net
+                    # never does, so this is normally dormant
+                    if "obj_segm" in pd and "segm_obj" in jbatch:
+                        viz.save_viz_segmentation(
+                            self.save_dir, i,
+                            rgb_norm=np.asarray(jbatch["rgb"][0]),
+                            bbox_obj=np.asarray(jbatch["bbox_obj"][0]),
+                            pd_obj_segm=np.asarray(pd["obj_segm"][0, 0]),
+                            gt_obj_segm=np.asarray(jbatch["segm_obj"][0, 0]))
                     from ..models import anchor as anchor_lib
 
                     # anchor frames are defined on the FLIPPED (right-hand)

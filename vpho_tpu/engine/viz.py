@@ -173,6 +173,41 @@ def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
     return path
 
 
+def save_viz_segmentation(save_dir: str, idx: int, *, rgb_norm, bbox_obj,
+                          pd_obj_segm, gt_obj_segm):
+    """Object segmentation side-by-side JPG (train_diff_hand_obj.py:701-718).
+
+    The reference calls this only when the model emits ``obj_segm``
+    (:310-314) — the live vpho_net never does (HeadSegm is defined but not
+    instantiated), so like the reference this writer is reachable but
+    normally dormant.  Layout matches: [rgb obj crop | gt segm | pd segm]
+    concatenated horizontally, colormapped like depth_to_rgb.
+
+    rgb_norm: (H, W, 3) normalized image; bbox_obj: (4,) xyxy;
+    pd/gt_obj_segm: (h, w) float maps.
+    """
+    import cv2
+
+    rgb = ((np.asarray(rgb_norm) * IMG_STD + IMG_MEAN) * 255).clip(0, 255).astype(np.uint8)
+    b = np.asarray(bbox_obj).astype(np.int64)
+    crop = rgb[max(b[1], 0):b[3], max(b[0], 0):b[2]]
+    if crop.size == 0:
+        return None
+    pd = np.asarray(pd_obj_segm, dtype=np.float32)
+    gt = np.asarray(gt_obj_segm, dtype=np.float32)
+
+    def colorize(m):
+        m8 = (np.clip(m, 0.0, 1.0) * 255).astype(np.uint8)
+        return cv2.applyColorMap(m8, cv2.COLORMAP_JET)[..., ::-1]
+
+    crop = cv2.resize(crop, (pd.shape[1], pd.shape[0]))
+    grid = np.concatenate([crop, colorize(gt), colorize(pd)], axis=1)
+    path = os.path.join(save_dir, "viz", f"{idx}_gt&pd_obj_segmentation.jpg")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, grid[..., ::-1])
+    return path
+
+
 def make_heatmap_overlay(rgb_crop: np.ndarray, heatmaps: np.ndarray) -> np.ndarray:
     """Grid of per-joint heatmap overlays (viz_fn.make_heatmaps analogue).
 
