@@ -53,7 +53,8 @@ from vpho_tpu.diffusion.sampler import ode_sampler
 from vpho_tpu.diffusion.sde import init_sde
 from vpho_tpu.models.denoiser import Denoiser
 from vpho_tpu.models.layers import Encoder, HeadHeatmap, TransformerEncoderLayer
-from vpho_tpu.utils.torch_import import load_vpho_state_dict
+from vpho_tpu.utils.torch_import import (export_vpho_state_dict,
+                                          load_vpho_state_dict)
 
 torch.manual_seed(0)
 
@@ -499,6 +500,63 @@ def test_full_state_dict_mapping():
         sd["head_mano.fc_pose.weight"].T)
     # missing FPN keys were tolerated (strict=False semantics)
     assert any(k.startswith("feature_extractor") for k in report["missing"])
+
+
+def test_export_state_dict_round_trip():
+    """export_vpho_state_dict is the exact inverse of load_vpho_state_dict.
+
+    Randomized full variables -> torch-format state_dict -> re-import into a
+    zeroed tree -> every mapped leaf lands back bit-identically (a layout
+    mistake — a missed transpose, an unflipped deconv, a bad MHA packing —
+    cannot hide in zeros).  Exported keys also load into the reference's own
+    torch modules with strict=True, so a reference user can consume a
+    checkpoint trained here."""
+    import flax
+
+    zeros = _full_variable_shapes()
+    rs = np.random.RandomState(42)
+    rand = {}
+    for coll in ("params", "batch_stats", "buffers"):
+        flat = flax.traverse_util.flatten_dict(zeros[coll])
+        rand[coll] = flax.traverse_util.unflatten_dict(
+            {k: rs.randn(*v.shape).astype(np.float32) for k, v in flat.items()})
+
+    sd = export_vpho_state_dict(rand)
+    assert len(sd) > 400, len(sd)
+
+    back, report = load_vpho_state_dict(_full_variable_shapes(), sd)
+    # the mapping must consume its own output completely
+    assert not report["missing"], report["missing"][:10]
+    assert not report["unconsumed"], report["unconsumed"][:10]
+    for coll in ("params", "batch_stats", "buffers"):
+        src = flax.traverse_util.flatten_dict(rand[coll])
+        dst = flax.traverse_util.flatten_dict(back[coll])
+        diff = [k for k in src
+                if not np.array_equal(np.asarray(src[k]), np.asarray(dst[k]))]
+        assert not diff, (coll, diff[:10])
+
+    # strict torch-module loads: the exported sub-dicts fit the reference's
+    # own modules key-for-key and shape-for-shape
+    from lib.model.encoding import Encoder as TorchEncoder
+    from lib.model.head_inplane import HeadHeatmap2
+
+    head = HeadHeatmap2(256, 21, 128)
+    head.load_state_dict({k[len("head_hm_hand."):]: torch.from_numpy(v.copy())
+                          for k, v in sd.items()
+                          if k.startswith("head_hm_hand.")}, strict=True)
+    enc = TorchEncoder(256 + 27, 256)
+    enc.load_state_dict({k[len("encoder_obj."):]: torch.from_numpy(v.copy())
+                         for k, v in sd.items()
+                         if k.startswith("encoder_obj.")}, strict=True)
+    _, marginal_prob_fn, _, _, _ = torch_init_sde("ve")
+    den = TorchDenoiser(marginal_prob_fn, head="mano_pose")
+    den.load_state_dict({k[len("denoiser_hand."):]: torch.from_numpy(v.copy())
+                         for k, v in sd.items()
+                         if k.startswith("denoiser_hand.")}, strict=True)
+    tl = torch.nn.TransformerEncoderLayer(d_model=512, nhead=2)
+    tl.load_state_dict({k[len("cross_hand.attn.layers.0."):]: torch.from_numpy(v.copy())
+                        for k, v in sd.items()
+                        if k.startswith("cross_hand.attn.layers.0.")}, strict=True)
 
 
 # ---------------------------------------------------------------------------

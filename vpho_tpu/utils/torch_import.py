@@ -215,6 +215,90 @@ class _Importer:
         _set(self.params, fpath + ("bias",), self.t(tkey + ".bias"))
 
 
+def _walk_vpho(do, mark_const):
+    """The single source of truth for the torch-key <-> Flax-path mapping.
+
+    ``do(kind, tkey, *fpath)`` is invoked once per mapped module, where
+    ``kind`` names a visitor method (conv/bn/linear/deconv/residual/
+    bottleneck/mha/layernorm/fourier/bank); ``mark_const(key)`` flags torch
+    keys that are constants rebuilt from assets on our side (mesh buffers,
+    MANO tables, positional tables, anchor dirs).  Driven by both the
+    importer (torch -> Flax) and the exporter (Flax -> torch) so the two
+    directions can never drift apart.
+    """
+    # -- feature_extractor (FPN, backbone_FPN_HFL.py:20-109) -------------
+    fe = "feature_extractor"
+    do("conv", f"{fe}.layer0_h.0", fe, "stem", "Conv_0")
+    do("bn", f"{fe}.layer0_h.1", fe, "stem", "TorchBatchNorm_0")
+    layer_map = {  # (torch name, flax name, num bottlenecks)
+        "layer1_h.0": ("layer1", 3), "layer2_h.0": ("layer2_h", 4),
+        "layer2_o.0": ("layer2_o", 4), "layer3_h.0": ("layer3_h", 6),
+        "layer3_o.0": ("layer3_o", 6), "layer4_h.0": ("layer4", 3),
+    }
+    for tname, (fname, nb) in layer_map.items():
+        for b in range(nb):
+            do("bottleneck", f"{fe}.{tname}.{b}", fe, fname, f"Bottleneck_{b}")
+    for nm in ["toplayer_h", "toplayer_o", "latlayer1_h", "latlayer2_h",
+               "latlayer3_h", "latlayer1_o", "latlayer2_o", "latlayer3_o",
+               "smooth3_h", "smooth3_o"]:
+        do("conv", f"{fe}.{nm}", fe, nm)
+
+    # -- heatmap heads (HeadHeatmap2, head_inplane.py:42-113) ------------
+    for side in ["hand", "obj"]:
+        t = f"head_hm_{side}"
+        do("conv", f"{t}.conv_layers.0", t, "Conv_0")
+        do("conv", f"{t}.conv_layers.1", t, "Conv_1")
+        do("bn", f"{t}.conv_layers.2", t, "TorchBatchNorm_0")
+        do("deconv", f"{t}.deconv_layers.0", t, "ConvTranspose_0")
+        do("bn", f"{t}.deconv_layers.1", t, "TorchBatchNorm_1")
+        do("conv", f"{t}.final_layer", t, "Conv_2")
+
+    # -- encoders (Encoder, encoding.py:39-73) ---------------------------
+    for side in ["hand", "obj"]:
+        t = f"encoder_{side}"
+        do("conv", f"{t}.project", t, "Conv_0")
+        for i in range(8):
+            do("residual", f"{t}.reg.{i}", t, f"Residual_{i}")
+
+    # -- head_mano (head_mano.py:28-76) -----------------------------------
+    do("linear", "head_mano.base_layer.0", "head_mano", "Dense_0")
+    do("linear", "head_mano.base_layer.2", "head_mano", "Dense_1")
+    do("linear", "head_mano.fc_pose", "head_mano", "Dense_2")
+    do("linear", "head_mano.fc_shape", "head_mano", "Dense_3")
+
+    # -- cross modules (cross_module.py:91-137) ---------------------------
+    for side in ["hand", "obj"]:
+        t = f"cross_{side}"
+        do("conv", f"{t}.proj_hand", t, "Conv_0")
+        do("conv", f"{t}.proj_obj", t, "Conv_1")
+        do("linear", f"{t}.gravity_proj", t, "Dense_0")
+        tl = f"{t}.attn.layers.0"
+        fl = (t, "TransformerEncoderLayer_0")
+        do("mha", f"{tl}.self_attn", *fl, "MultiHeadDotProductAttention_0")
+        do("linear", f"{tl}.linear1", *fl, "Dense_0")
+        do("linear", f"{tl}.linear2", *fl, "Dense_1")
+        do("layernorm", f"{tl}.norm1", *fl, "LayerNorm_0")
+        do("layernorm", f"{tl}.norm2", *fl, "LayerNorm_1")
+        # sinusoidal positional table: constant, rebuilt by sinusoid_table
+        mark_const(f"{t}.pose_embedder.pe")
+
+    # -- head_physics (physics.py:648-721) --------------------------------
+    for seq, fname in [("fc_scale", "fc_scale"), ("fc_weight", "fc_weight"),
+                       ("fc_CoM", "fc_CoM")]:
+        do("linear", f"head_physics.{seq}.0", "head_physics", f"{fname}_0")
+        do("linear", f"head_physics.{seq}.2", "head_physics", f"{fname}_1")
+    mark_const("head_physics.anchor")  # constant, rebuilt in friction_anchor_dirs
+
+    # -- denoisers (denoiser.py:34-82, ParallelLinear banks) -------------
+    for t in ("denoiser_hand", "denoiser_obj"):
+        do("fourier", f"{t}.t_encoder.0.W", t, "fourier", "W")
+        do("linear", f"{t}.t_encoder.1", t, "t_dense")
+        do("linear", f"{t}.pose_encoder.0", t, "pose_dense1")
+        do("linear", f"{t}.pose_encoder.2", t, "pose_dense2")
+        do("bank", f"{t}.head.head.0", t, "bank", "kernel1", "bias1")
+        do("bank", f"{t}.head.head.2", t, "bank", "kernel2", "bias2")
+
+
 def load_vpho_state_dict(variables, state_dict, remove_keys=()):
     """Map a reference vpho_net torch state_dict into our Flax variables.
 
@@ -235,98 +319,25 @@ def load_vpho_state_dict(variables, state_dict, remove_keys=()):
     imp = _Importer(variables, sd)
     done, missing = [], []
 
-    def do(fn, tkey, *fpath):
+    def do(kind, tkey, *fpath):
         probes = (tkey, tkey + ".weight", tkey + ".conv1.weight",
                   tkey + ".in_proj_weight")
         if not any(p in imp.sd for p in probes):
             missing.append(tkey)
             return
-        fn(tkey, *fpath)
+        if kind == "fourier":
+            _set(imp.buffers, fpath, imp.t(tkey))
+        elif kind == "bank":
+            # torch ParallelLinear stores (num, in, out) — same layout as
+            # BankMLPHead's kernel/bias params, direct copy
+            *scope, kname, bname = fpath
+            _set(imp.params, tuple(scope) + (kname,), imp.t(tkey + ".weight"))
+            _set(imp.params, tuple(scope) + (bname,), imp.t(tkey + ".bias"))
+        else:
+            getattr(imp, kind)(tkey, *fpath)
         done.append(tkey)
 
-    # -- feature_extractor (FPN, backbone_FPN_HFL.py:20-109) -------------
-    fe = "feature_extractor"
-    do(imp.conv, f"{fe}.layer0_h.0", fe, "stem", "Conv_0")
-    do(imp.bn, f"{fe}.layer0_h.1", fe, "stem", "TorchBatchNorm_0")
-    layer_map = {  # (torch name, flax name, num bottlenecks)
-        "layer1_h.0": ("layer1", 3), "layer2_h.0": ("layer2_h", 4),
-        "layer2_o.0": ("layer2_o", 4), "layer3_h.0": ("layer3_h", 6),
-        "layer3_o.0": ("layer3_o", 6), "layer4_h.0": ("layer4", 3),
-    }
-    for tname, (fname, nb) in layer_map.items():
-        for b in range(nb):
-            do(imp.bottleneck, f"{fe}.{tname}.{b}", fe, fname, f"Bottleneck_{b}")
-    for nm in ["toplayer_h", "toplayer_o", "latlayer1_h", "latlayer2_h",
-               "latlayer3_h", "latlayer1_o", "latlayer2_o", "latlayer3_o",
-               "smooth3_h", "smooth3_o"]:
-        do(imp.conv, f"{fe}.{nm}", fe, nm)
-
-    # -- heatmap heads (HeadHeatmap2, head_inplane.py:42-113) ------------
-    for side in ["hand", "obj"]:
-        t = f"head_hm_{side}"
-        do(imp.conv, f"{t}.conv_layers.0", t, "Conv_0")
-        do(imp.conv, f"{t}.conv_layers.1", t, "Conv_1")
-        do(imp.bn, f"{t}.conv_layers.2", t, "TorchBatchNorm_0")
-        do(imp.deconv, f"{t}.deconv_layers.0", t, "ConvTranspose_0")
-        do(imp.bn, f"{t}.deconv_layers.1", t, "TorchBatchNorm_1")
-        do(imp.conv, f"{t}.final_layer", t, "Conv_2")
-
-    # -- encoders (Encoder, encoding.py:39-73) ---------------------------
-    for side in ["hand", "obj"]:
-        t = f"encoder_{side}"
-        do(imp.conv, f"{t}.project", t, "Conv_0")
-        for i in range(8):
-            do(imp.residual, f"{t}.reg.{i}", t, f"Residual_{i}")
-
-    # -- head_mano (head_mano.py:28-76) -----------------------------------
-    do(imp.linear, "head_mano.base_layer.0", "head_mano", "Dense_0")
-    do(imp.linear, "head_mano.base_layer.2", "head_mano", "Dense_1")
-    do(imp.linear, "head_mano.fc_pose", "head_mano", "Dense_2")
-    do(imp.linear, "head_mano.fc_shape", "head_mano", "Dense_3")
-
-    # -- cross modules (cross_module.py:91-137) ---------------------------
-    for side in ["hand", "obj"]:
-        t = f"cross_{side}"
-        do(imp.conv, f"{t}.proj_hand", t, "Conv_0")
-        do(imp.conv, f"{t}.proj_obj", t, "Conv_1")
-        do(imp.linear, f"{t}.gravity_proj", t, "Dense_0")
-        tl = f"{t}.attn.layers.0"
-        fl = (t, "TransformerEncoderLayer_0")
-        do(imp.mha, f"{tl}.self_attn", *fl, "MultiHeadDotProductAttention_0")
-        do(imp.linear, f"{tl}.linear1", *fl, "Dense_0")
-        do(imp.linear, f"{tl}.linear2", *fl, "Dense_1")
-        do(imp.layernorm, f"{tl}.norm1", *fl, "LayerNorm_0")
-        do(imp.layernorm, f"{tl}.norm2", *fl, "LayerNorm_1")
-        # sinusoidal positional table: constant, rebuilt by sinusoid_table
-        imp.used.add(f"{t}.pose_embedder.pe")
-
-    # -- head_physics (physics.py:648-721) --------------------------------
-    for seq, fname in [("fc_scale", "fc_scale"), ("fc_weight", "fc_weight"),
-                       ("fc_CoM", "fc_CoM")]:
-        do(imp.linear, f"head_physics.{seq}.0", "head_physics", f"{fname}_0")
-        do(imp.linear, f"head_physics.{seq}.2", "head_physics", f"{fname}_1")
-    imp.used.add("head_physics.anchor")  # constant, rebuilt in friction_anchor_dirs
-
-    # -- denoisers (denoiser.py:34-82, ParallelLinear banks) -------------
-    def denoiser(t, f):
-        if f"{t}.t_encoder.0.W" in imp.sd:
-            _set(imp.buffers, (f, "fourier", "W"), imp.t(f"{t}.t_encoder.0.W"))
-            done.append(f"{t}.t_encoder.0.W")
-        do(imp.linear, f"{t}.t_encoder.1", f, "t_dense")
-        do(imp.linear, f"{t}.pose_encoder.0", f, "pose_dense1")
-        do(imp.linear, f"{t}.pose_encoder.2", f, "pose_dense2")
-        for layer, (kname, bname) in [("0", ("kernel1", "bias1")),
-                                      ("2", ("kernel2", "bias2"))]:
-            tk = f"{t}.head.head.{layer}"
-            if tk + ".weight" in imp.sd:
-                _set(imp.params, (f, "bank", kname), imp.t(tk + ".weight"))
-                _set(imp.params, (f, "bank", bname), imp.t(tk + ".bias"))
-                done.append(tk)
-            else:
-                missing.append(tk)
-
-    denoiser("denoiser_hand", "denoiser_hand")
-    denoiser("denoiser_obj", "denoiser_obj")
+    _walk_vpho(do, imp.used.add)
 
     # head_obj registers YCB mesh buffers (head_object.py:13-33) and
     # head_mano.mano_layer registers MANO tables — both are constants our
@@ -345,6 +356,138 @@ def load_vpho_state_dict(variables, state_dict, remove_keys=()):
                       "unconsumed": unconsumed}
 
 
+# ---------------------------------------------------------------------------
+# full vpho_net state_dict EXPORT (Flax variables -> reference torch keys)
+# ---------------------------------------------------------------------------
+
+
+def _get(tree, path: Tuple[str, ...]) -> np.ndarray:
+    node = tree
+    for k in path:
+        node = node[k]
+    return np.asarray(node)
+
+
+class _Exporter:
+    """Inverse of _Importer: reads Flax params/stats/buffers, emits torch keys."""
+
+    def __init__(self, variables):
+        import jax
+
+        self.params = jax.tree.map(np.asarray, variables["params"])
+        self.stats = jax.tree.map(np.asarray, variables["batch_stats"])
+        self.buffers = jax.tree.map(np.asarray, variables["buffers"])
+        self.sd: Dict[str, np.ndarray] = {}
+
+    def conv(self, tkey, *fpath):
+        k = _get(self.params, fpath + ("kernel",))
+        self.sd[tkey + ".weight"] = np.transpose(k, (3, 2, 0, 1))
+        node = self.params
+        for p in fpath:
+            node = node[p]
+        if "bias" in node:
+            self.sd[tkey + ".bias"] = np.asarray(node["bias"])
+
+    def deconv(self, tkey, *fpath):
+        # inverse of _deconv: unflip spatial, then (kh,kw,in,out)->(in,out,kh,kw)
+        k = _get(self.params, fpath + ("kernel",))[::-1, ::-1]
+        self.sd[tkey + ".weight"] = np.transpose(k, (2, 3, 0, 1))
+
+    def linear(self, tkey, *fpath):
+        self.sd[tkey + ".weight"] = _get(self.params, fpath + ("kernel",)).T
+        self.sd[tkey + ".bias"] = _get(self.params, fpath + ("bias",))
+
+    def bn(self, tkey, *fpath):
+        base = fpath + ("BatchNorm_0",)
+        self.sd[tkey + ".weight"] = _get(self.params, base + ("scale",))
+        self.sd[tkey + ".bias"] = _get(self.params, base + ("bias",))
+        self.sd[tkey + ".running_mean"] = _get(self.stats, base + ("mean",))
+        self.sd[tkey + ".running_var"] = _get(self.stats, base + ("var",))
+        self.sd[tkey + ".num_batches_tracked"] = np.asarray(0, np.int64)
+
+    def residual(self, tkey, *fpath):
+        self.bn(tkey + ".bn", *fpath, "TorchBatchNorm_0")
+        self.conv(tkey + ".conv1", *fpath, "Conv_0")
+        self.bn(tkey + ".bn1", *fpath, "TorchBatchNorm_1")
+        self.conv(tkey + ".conv2", *fpath, "Conv_1")
+        self.bn(tkey + ".bn2", *fpath, "TorchBatchNorm_2")
+        self.conv(tkey + ".conv3", *fpath, "Conv_2")
+        node = self.params
+        for p in fpath:
+            node = node[p]
+        if "Conv_3" in node:
+            self.conv(tkey + ".conv4", *fpath, "Conv_3")
+
+    def bottleneck(self, tkey, *fpath):
+        for i, name in enumerate(["conv1", "conv2", "conv3"]):
+            self.conv(tkey + f".{name}", *fpath, f"Conv_{i}")
+            self.bn(tkey + f".bn{i+1}", *fpath, f"TorchBatchNorm_{i}")
+        node = self.params
+        for p in fpath:
+            node = node[p]
+        if "Conv_3" in node:
+            self.conv(tkey + ".downsample.0", *fpath, "Conv_3")
+            self.bn(tkey + ".downsample.1", *fpath, "TorchBatchNorm_3")
+
+    def mha(self, tkey, *fpath):
+        # inverse of _Importer.mha: reassemble in_proj [q; k; v]
+        blocks, biases = [], []
+        d = None
+        for name in ["query", "key", "value"]:
+            k = _get(self.params, fpath + (name, "kernel"))  # (d, h, hd)
+            b = _get(self.params, fpath + (name, "bias"))    # (h, hd)
+            d = k.shape[0]
+            blocks.append(k.reshape(d, -1).T)                # (d, d) rows=out
+            biases.append(b.reshape(-1))
+        self.sd[tkey + ".in_proj_weight"] = np.concatenate(blocks, axis=0)
+        self.sd[tkey + ".in_proj_bias"] = np.concatenate(biases, axis=0)
+        wo = _get(self.params, fpath + ("out", "kernel"))    # (h, hd, d)
+        self.sd[tkey + ".out_proj.weight"] = wo.reshape(-1, d).T
+        self.sd[tkey + ".out_proj.bias"] = _get(self.params, fpath + ("out", "bias"))
+
+    def layernorm(self, tkey, *fpath):
+        self.sd[tkey + ".weight"] = _get(self.params, fpath + ("scale",))
+        self.sd[tkey + ".bias"] = _get(self.params, fpath + ("bias",))
+
+    def fourier(self, tkey, *fpath):
+        self.sd[tkey] = _get(self.buffers, fpath)
+
+    def bank(self, tkey, *fpath):
+        *scope, kname, bname = fpath
+        self.sd[tkey + ".weight"] = _get(self.params, tuple(scope) + (kname,))
+        self.sd[tkey + ".bias"] = _get(self.params, tuple(scope) + (bname,))
+
+
+def export_vpho_state_dict(variables) -> Dict[str, np.ndarray]:
+    """Flax variables -> reference-format torch state_dict (numpy values).
+
+    The inverse of :func:`load_vpho_state_dict`, driven by the SAME
+    ``_walk_vpho`` mapping so the directions cannot drift.  Constant buffers
+    the reference registers from assets (YCB mesh tables ``head_obj.*``,
+    MANO tables ``head_mano.mano_layer.*``, positional tables, anchor dirs)
+    are omitted — the reference's ``load_state_dict(strict=False)`` path
+    (train_diff_hand_obj.py:45) initializes them from its own assets.
+
+    Lets a reference user take weights trained in this framework back into
+    the reference codebase (the reverse trip of ``--pretrain``).
+    """
+    exp = _Exporter(variables)
+
+    def do(kind, tkey, *fpath):
+        getattr(exp, kind)(tkey, *fpath)
+
+    _walk_vpho(do, lambda key: None)
+    return exp.sd
+
+
+def save_torch_file(sd: Dict[str, np.ndarray], path: str):
+    """Write a state_dict loadable by ``torch.load`` in the reference."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd.items()}, path)
+
+
 def remove_flax_prefixes(tree, remove_keys=()):
     """--remove_pretrained_keys for our own flax pickles: drop subtrees whose
     '/'-joined path starts with any prefix."""
@@ -355,6 +498,16 @@ def remove_flax_prefixes(tree, remove_keys=()):
             if not any("/".join(k).startswith(r) or ".".join(k).startswith(r)
                        for r in remove_keys)}
     return flax.traverse_util.unflatten_dict(kept)
+
+
+def export_pkl_to_torch(pkl_path: str, out_path: str):
+    """Convert this framework's final_model.pkl to a reference .pth."""
+    import pickle
+
+    with open(pkl_path, "rb") as f:
+        variables = pickle.load(f)
+    save_torch_file(export_vpho_state_dict(variables), out_path)
+    return out_path
 
 
 def load_pretrain(variables, path: str, remove_keys=()):
@@ -387,3 +540,17 @@ def load_pretrain(variables, path: str, remove_keys=()):
                 report["unconsumed"].append(coll + "/" + "/".join(k))
         new_vars[coll] = flax.traverse_util.unflatten_dict(dst)
     return new_vars, report
+
+
+if __name__ == "__main__":
+    # converter CLI:
+    #   python -m vpho_tpu.utils.torch_import export final_model.pkl out.pth
+    import sys
+
+    if len(sys.argv) == 4 and sys.argv[1] == "export":
+        print(export_pkl_to_torch(sys.argv[2], sys.argv[3]))
+    else:
+        print(__doc__)
+        print("usage: python -m vpho_tpu.utils.torch_import export "
+              "<final_model.pkl> <out.pth>")
+        sys.exit(1)
