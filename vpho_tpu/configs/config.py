@@ -133,6 +133,9 @@ class Config:
     ode_method: str = "dpm3m"  # promotion rationale: ModelConfig.ode_method
     ode_schedule: str = "uniform"  # 'karras' available; study: docs/PERF.md r3
     compute_dtype: str = "float32"
+    # when set, capture ONE xprof trace of a steady-state (post-warmup) eval
+    # batch into this directory (jax.profiler; view with TensorBoard)
+    trace_dir: str = ""
     # dominant-eigenvector solve inside quaternion averaging: eigh | power
     # (matrix-squaring subspace iteration; see utils/transforms.py)
     quat_mean_impl: str = "eigh"
@@ -283,6 +286,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["uniform", "karras"])
     p.add_argument("--compute_dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--trace_dir", type=str, default="")
     p.add_argument("--quat_mean_impl", type=str, default="eigh",
                    choices=["eigh", "power"])
     p.add_argument("--cross_attention_axis", type=str, default="tokens",

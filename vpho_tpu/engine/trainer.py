@@ -406,7 +406,24 @@ class Trainer:
                         f"{param_count(self.state.params)/1e6:.2f}M params")
                 except Exception as e:  # cost analysis is best-effort
                     self.logger.info(f"flops analysis unavailable: {e}")
-            pd = self._predict_step(self.state, jbatch, jax.random.fold_in(rng, i))
+            if i == 1 and getattr(self.cfg, "trace_dir", ""):
+                # one post-warmup xprof trace of a steady-state eval batch
+                # (--trace_dir; view with TensorBoard / xprof)
+                from .profiling import trace
+
+                try:
+                    with trace(self.cfg.trace_dir):
+                        pd = self._predict_step(
+                            self.state, jbatch, jax.random.fold_in(rng, i))
+                        jax.block_until_ready(pd)
+                    self.logger.info(f"xprof trace written: {self.cfg.trace_dir}")
+                except Exception as e:  # tracing is best-effort
+                    self.logger.info(f"xprof trace unavailable: {e}")
+                    pd = self._predict_step(
+                        self.state, jbatch, jax.random.fold_in(rng, i))
+            else:
+                pd = self._predict_step(
+                    self.state, jbatch, jax.random.fold_in(rng, i))
 
             root = jbatch["root_joint"]
             is_right = jbatch["is_right"]
