@@ -127,8 +127,9 @@ def main():
     import dataclasses as _dc
     rec = {}
     for m in ("heun", "dpm2m", "dpm3m"):
-        ctx_m = V.make_context(
-            _dc.replace(cfg.to_model_config(), ode_method=m))
+        # swap only the cfg on the existing context: VPHOContext is a
+        # NamedTuple, so the loaded MANO/YCB/anchor assets are reused
+        ctx_m = ctx._replace(cfg=_dc.replace(ctx.cfg, ode_method=m))
         pd_m = make_predict_step(model, ctx_m)(state, eval_batch,
                                                jax.random.PRNGKey(5))
         rec[f"agg_mje_mm_{m}"] = round(mje_mm(postprocess_hand_vert(

@@ -223,6 +223,7 @@ class Trainer:
 
         self._train_step = None
         self._predict_step = None
+        self._trace_done = False
         self.state: Optional[TrainState] = None
 
     # -- state/checkpoint management ------------------------------------
@@ -406,11 +407,14 @@ class Trainer:
                         f"{param_count(self.state.params)/1e6:.2f}M params")
                 except Exception as e:  # cost analysis is best-effort
                     self.logger.info(f"flops analysis unavailable: {e}")
-            if i == 1 and getattr(self.cfg, "trace_dir", ""):
+            if (i == 1 and getattr(self.cfg, "trace_dir", "")
+                    and not self._trace_done):
                 # one post-warmup xprof trace of a steady-state eval batch
-                # (--trace_dir; view with TensorBoard / xprof)
+                # (--trace_dir; view with TensorBoard / xprof).  Captured at
+                # most once per Trainer lifetime, not once per evaluate().
                 from .profiling import trace
 
+                self._trace_done = True
                 try:
                     with trace(self.cfg.trace_dir):
                         pd = self._predict_step(
@@ -557,6 +561,12 @@ class Trainer:
                         obj_mesh=gt_obj_vert0 @ rt_np[:, :3].T + rt_np[:, 3])
                 except Exception as e:  # viz must never break eval
                     self.logger.warning(f"viz dump failed: {e}")
+
+        if getattr(self.cfg, "trace_dir", "") and not self._trace_done:
+            self.logger.warning(
+                "--trace_dir set but no trace captured: the capture runs on "
+                "the second (post-warmup) eval batch and this stream had "
+                "fewer than 2 batches")
 
         # multi-host: pool every process's rows before reporting
         # (gather_for_metrics equivalent); single-process no-op

@@ -173,6 +173,19 @@ def save_viz_mesh_force(save_dir: str, idx: int, *, obj_verts, obj_faces,
     return path
 
 
+def _denorm_crop(rgb_norm, bbox):
+    """Undo imagenet normalization and crop to an int xyxy bbox.
+
+    Returns a uint8 RGB crop, or None for a degenerate bbox.  Shared by the
+    heatmap and segmentation writers so the denorm/clamping conventions
+    cannot drift between them.
+    """
+    rgb = ((np.asarray(rgb_norm) * IMG_STD + IMG_MEAN) * 255).clip(0, 255).astype(np.uint8)
+    b = np.asarray(bbox).astype(np.int64)
+    crop = rgb[max(b[1], 0):b[3], max(b[0], 0):b[2]]
+    return None if crop.size == 0 else crop
+
+
 def save_viz_segmentation(save_dir: str, idx: int, *, rgb_norm, bbox_obj,
                           pd_obj_segm, gt_obj_segm):
     """Object segmentation side-by-side JPG (train_diff_hand_obj.py:701-718).
@@ -184,17 +197,18 @@ def save_viz_segmentation(save_dir: str, idx: int, *, rgb_norm, bbox_obj,
     concatenated horizontally, colormapped like depth_to_rgb.
 
     rgb_norm: (H, W, 3) normalized image; bbox_obj: (4,) xyxy;
-    pd/gt_obj_segm: (h, w) float maps.
+    pd/gt_obj_segm: (h, w) float maps (the gt map is resampled to the
+    prediction's resolution if they differ).
     """
     import cv2
 
-    rgb = ((np.asarray(rgb_norm) * IMG_STD + IMG_MEAN) * 255).clip(0, 255).astype(np.uint8)
-    b = np.asarray(bbox_obj).astype(np.int64)
-    crop = rgb[max(b[1], 0):b[3], max(b[0], 0):b[2]]
-    if crop.size == 0:
+    crop = _denorm_crop(rgb_norm, bbox_obj)
+    if crop is None:
         return None
-    pd = np.asarray(pd_obj_segm, dtype=np.float32)
-    gt = np.asarray(gt_obj_segm, dtype=np.float32)
+    pd = np.atleast_2d(np.asarray(pd_obj_segm, dtype=np.float32))
+    gt = np.atleast_2d(np.asarray(gt_obj_segm, dtype=np.float32))
+    if gt.shape != pd.shape:
+        gt = cv2.resize(gt, (pd.shape[1], pd.shape[0]))
 
     def colorize(m):
         m8 = (np.clip(m, 0.0, 1.0) * 255).astype(np.uint8)
@@ -230,15 +244,13 @@ def save_viz_heatmap(save_dir: str, idx: int, *, rgb_norm, bbox_hand, bbox_obj,
     """Heatmap JPG grids (train_diff_hand_obj.py:667-703)."""
     import cv2
 
-    rgb = ((np.asarray(rgb_norm) * IMG_STD + IMG_MEAN) * 255).clip(0, 255).astype(np.uint8)
     out_paths = []
     for tag, bbox, pd_hm, gt_hm in (
         ("hand", bbox_hand, pd_hm_hand, gt_hm_hand),
         ("obj", bbox_obj, pd_hm_obj, gt_hm_obj),
     ):
-        b = np.asarray(bbox).astype(np.int64)
-        crop = rgb[max(b[1], 0):b[3], max(b[0], 0):b[2]]
-        if crop.size == 0:
+        crop = _denorm_crop(rgb_norm, bbox)
+        if crop is None:
             continue
         size = np.asarray(pd_hm).shape[-1]
         crop = cv2.resize(crop, (size, size))

@@ -133,7 +133,7 @@ def clamp_group(group: int, S: int, C: int, n: int, D: int, O: int) -> int:
                       + weight_bytes)
         if cell_bytes <= 14 * 1024 * 1024:
             break
-        group //= 2
+        group -= 1                                # largest size that fits
     return group
 
 
@@ -181,9 +181,14 @@ def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
         # Safe range: 1-2 at hand-head shapes; larger values are clamped
         # against the VMEM budget below (g=4 already puts the f32 hidden
         # tile at ~14.7 MB — at/over the ~16 MB/core budget).
+        raw = os.environ.get("VPHO_BANK_GROUP", "2")
         try:
-            group = int(os.environ.get("VPHO_BANK_GROUP", "2"))
+            group = int(raw)
         except ValueError:
+            import warnings
+
+            warnings.warn(f"VPHO_BANK_GROUP={raw!r} is not an integer; "
+                          "using the default of 2")
             group = 2
     group = clamp_group(group, S, pose_feat.shape[-1], n, D, O)
     w1_flat = jnp.transpose(w1_pose, (1, 0, 2)).reshape(w1_pose.shape[1], n * D)
