@@ -9,9 +9,11 @@ the TPU — zero host transfers.
 
 Fidelity note (SURVEY.md §7 "hard parts"): RK45 is adaptive between the
 ``t_eval`` grid points; a fixed-step integrator differs bitwise but matches at
-the metric level.  We default to classic RK4 per grid interval (4 score evals
-per step, same order as RK45's embedded 4th-order solution); ``method`` also
-supports 'heun' (2 evals) and 'euler' (1 eval) for speed/quality trades.
+the metric level.  The framework's eval default is DPM-Solver++(3M) (one
+score eval per step at 3rd order — the r4 promotion, see ``_dpm3m_scan``);
+``method`` also supports 'dpm2m', classic 'rk4' (4 evals/step, this
+function's own parameter default and the most faithful option), 'heun'
+(2 evals) and 'euler' (1 eval) for speed/quality trades.
 
 The score-matching loss vectorizes the reference's serial ``repeat_num`` loop
 (score_based_model.py:117-128) into a single batched denoiser call.
