@@ -34,6 +34,17 @@ class TestEMA:
         # warmup decay is (1+1)/(10+1) ~ 0.18, so the first update moves a lot
         assert float(state.params["w"]) > 0.5
 
+    def test_swap_returns_shadow_and_backup(self):
+        """ema_swap = the reference EMA's store+copy_to pair (ema.py):
+        evaluate with the shadow weights, keep the live ones to restore."""
+        from vpho_tpu.models.ema import ema_swap
+
+        live = {"w": jnp.zeros(2)}
+        state = ema_update(ema_init(live), {"w": jnp.ones(2)}, decay=0.5)
+        shadow, backup = ema_swap(state, live)
+        assert shadow is state.params
+        assert backup is live
+
 
 class TestProfiling:
     def test_flops_of_matmul(self):
@@ -171,6 +182,28 @@ class TestVizDumps:
             tables, jnp.asarray(fl), jnp.asarray(verts))
         np.testing.assert_allclose(p_np, np.asarray(p_j), atol=1e-5)
         np.testing.assert_allclose(g_np, np.asarray(g_j), atol=1e-5)
+
+    def test_force_global_to_local_round_trip(self):
+        """force_global_to_local (reference physics.py:374-378) vs the
+        forward map.  The anchor frame is orthogonal but its x axis is NOT
+        unit (reference physics_fn.py:240-242: x = y_unit x z_unit, norm
+        sin(theta), never renormalized), so local -> global -> local scales
+        the x component by |x_axis|^2 while y/z round-trip exactly — pin
+        that reference behavior, not an idealized orthonormal inverse."""
+        from vpho_tpu.models import anchor as anchor_lib
+
+        tables = anchor_lib.load_anchor_tables(synthetic_mano())
+        rng = np.random.RandomState(5)
+        verts = jnp.asarray(rng.randn(778, 3).astype(np.float32) * 0.1)
+        fl = jnp.asarray(rng.randn(32, 3).astype(np.float32))
+        _, fg = anchor_lib.force_local_to_global(tables, fl, verts)
+        back = np.asarray(anchor_lib.force_global_to_local(tables, fg, verts))
+        _, frame = anchor_lib.anchor_points_and_frames(tables, verts)
+        x_sq = np.sum(np.asarray(frame)[..., :, 0] ** 2, axis=-1)  # (32,)
+        np.testing.assert_allclose(back[:, 0], np.asarray(fl)[:, 0] * x_sq,
+                                   atol=1e-5)
+        np.testing.assert_allclose(back[:, 1:], np.asarray(fl)[:, 1:],
+                                   atol=1e-5)
 
     def test_load_obj_faces_triangulates(self, tmp_path):
         from vpho_tpu.models.ycb import load_obj_faces
