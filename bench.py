@@ -87,22 +87,40 @@ def main():
     # the steady-state serving throughput; a stale future still can't fake a
     # good number because each group is bounded by its own fence
     chain = int(os.environ.get("BENCH_CHAIN", "4"))
-    times = []
-    for i in range(iters):
-        t0 = time.perf_counter()
-        for j in range(chain):
-            out = fn(variables, batch, jax.random.fold_in(rng, i * chain + j))
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / chain)
-    times.sort()
-    dt = times[len(times) // 2]
 
-    fps = batch_size / dt
+    def run_groups(n, base):
+        ts = []
+        for i in range(n):
+            t0 = time.perf_counter()
+            for j in range(chain):
+                out = fn(variables, batch,
+                         jax.random.fold_in(rng, base + i * chain + j))
+            jax.block_until_ready(out)
+            ts.append((time.perf_counter() - t0) / chain)
+        return ts
+
+    # report median/min/spread over groups so round-over-round deltas are
+    # attributable (host/tunnel swing vs a real regression); if the spread
+    # exceeds 3% of the median, double the group count once and remeasure
+    times = run_groups(iters, 0)
+    s = sorted(times)
+    med = s[len(s) // 2]
+    spread = (s[-1] - s[0]) / med
+    if spread > 0.03:
+        times += run_groups(iters, 10_000)
+        s = sorted(times)
+        med = s[len(s) // 2]
+        spread = (s[-1] - s[0]) / med
+
+    fps = batch_size / med
     print(json.dumps({
         "metric": "eval_throughput",
         "value": round(fps, 3),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "fps_best": round(batch_size / s[0], 3),
+        "spread_pct": round(100 * spread, 2),
+        "groups": len(times),
     }))
 
 

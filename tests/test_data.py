@@ -228,7 +228,8 @@ class TestRandomErasingModes:
 
         def erased_region(mode, seed=3):
             aug = ImageAugmentor(AugmentConfig(
-                random_erasing_prob=1.0, random_erasing_mode=mode))
+                random_erasing_prob=1.0, random_erasing_mode=mode,
+                random_erasing_max_count=1))
             out = aug.run_random_erasing(img, np.random.RandomState(seed))
             mask = np.any(out != 1.0, axis=-1)
             assert mask.any(), mode
@@ -242,3 +243,36 @@ class TestRandomErasingModes:
         assert np.allclose(region.std(axis=0), 0.0, atol=1e-6)
         pixel, m = erased_region("pixel")
         assert pixel[m].std() > 0.1
+
+    def test_timm_count_semantics(self):
+        """One probability gate, then EXACTLY max_count regions (D15).
+
+        The reference wires timm RandomErasing with min_count=2 (base.py:
+        386-392 passes its max_count cfg value as min_count, and timm
+        defaults max_count:=min_count) — a triggered image always erases
+        2 regions, each targeting area/2.
+        """
+        import numpy as np
+
+        from vpho_tpu.data.augment import AugmentConfig, ImageAugmentor
+
+        img = np.ones((64, 64, 3), np.float32)
+        aug = ImageAugmentor(AugmentConfig(
+            random_erasing_prob=1.0, random_erasing_mode="const",
+            random_erasing_max_count=2))
+        from scipy import ndimage
+
+        n_multi = 0
+        for seed in range(20):
+            out = aug.run_random_erasing(img, np.random.RandomState(seed))
+            mask = np.any(out != 1.0, axis=-1)
+            _, n = ndimage.label(mask)
+            assert 1 <= n <= 2, n  # 2 regions unless they overlap/merge
+            n_multi += n == 2
+        assert n_multi >= 10  # distinct rectangles dominate at these areas
+
+        # prob gate: rand() >= prob -> untouched (single gate, not per-region)
+        aug0 = ImageAugmentor(AugmentConfig(
+            random_erasing_prob=0.0, random_erasing_max_count=2))
+        out = aug0.run_random_erasing(img, np.random.RandomState(0))
+        assert np.all(out == 1.0)

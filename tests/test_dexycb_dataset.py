@@ -5,10 +5,8 @@ geometrically consistent annotations (projected MANO joints, object pose),
 then drives the full per-item pipeline: filters, crop/aug, FK translation
 correction, left-hand flip protocol, heatmaps, wrist-relative object pose.
 """
-import json
 import os
 
-import cv2
 import numpy as np
 import pytest
 
@@ -18,52 +16,11 @@ from vpho_tpu.data import dexycb as D
 
 @pytest.fixture(scope="module")
 def mini_dexycb(tmp_path_factory):
+    from vpho_tpu.data.fixtures_disk import build_mini_dexycb
+
     root = tmp_path_factory.mktemp("DexYCB")
-    rng = np.random.RandomState(0)
-    fx = fy = 600.0
-    ppx, ppy = 320.0, 240.0
-
-    # consistent annotations from the synthetic MANO model's FK
-    model, _ = D._fk_fn("right")
-    samples = {}
-    for i, side in enumerate(["right", "right", "left"]):
-        pca = rng.randn(45) * 0.1
-        beta = rng.randn(10) * 0.3
-        global_rot = rng.randn(3) * 0.2
-        transl = np.array([0.02 * i - 0.02, 0.01, 0.55])
-        comps = np.asarray(model.hands_components)
-        hmean = np.asarray(model.hands_mean)
-        aa_flat = pca @ comps + hmean
-        vert, jt3d = D.get_hand_vert(aa_flat, beta, global_rot, transl, side == "right")
-        K = np.array([[fx, 0, ppx], [0, fy, ppy], [0, 0, 1]])
-        jt2d = jt3d @ K.T
-        jt2d = jt2d[:, :2] / jt2d[:, 2:]
-
-        obj_rt = np.concatenate([np.eye(3), transl[:, None] + 0.02], axis=1)
-        seq = f"20200820-subject-0{i+1}/20200820_13550{i}/836212060125"
-        color_file = f"{seq}/color_00000{i}.jpg"
-        img_dir = root / os.path.dirname(color_file)
-        img_dir.mkdir(parents=True, exist_ok=True)
-        img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
-        cv2.imwrite(str(root / color_file), img)
-
-        samples[f"s{i}"] = {
-            "color_file": color_file,
-            "intrinsics": {"fx": fx, "fy": fy, "ppx": ppx, "ppy": ppy},
-            "ycb_ids": [1 + i],
-            "ycb_grasp_ind": 0,
-            "mano_side": side,
-            "mano_betas": beta.tolist(),
-            "joint_3d": [jt3d.tolist()],
-            "joint_2d": [jt2d.tolist()],
-            "pose_y": [obj_rt.tolist()],
-            "pose_m": [np.concatenate([global_rot, pca, transl]).tolist()],
-        }
-
-    for split in ("train", "test"):
-        with open(root / f"dex_ycb_s0_{split}_data.json", "w") as f:
-            json.dump(samples, f)
-    return str(root)
+    return build_mini_dexycb(str(root), n=3, seed=0,
+                             sides=["right", "right", "left"])
 
 
 @pytest.fixture(scope="module")
@@ -143,3 +100,22 @@ class TestMiniDexYCB:
         assert batch["rgb"].shape == (3, 128, 128, 3)
         assert batch["is_right"].shape == (3,)
         assert batch["obj_id"].tolist() == [0, 1, 2]
+
+    def test_contact_disk_cache(self, mini_dexycb, monkeypatch):
+        """Second pass reads cache/hand_contact/<...>/contact_*.npy
+        (base.py:871-881 protocol) — identical labels, NO recompute."""
+        cfg = Config(data_dir=mini_dexycb, patch_size=128, num_workers=0)
+        ds = D.DexYCBForceDataset(cfg, mini_dexycb, is_train=False)
+        first = ds[0]["force_contact"]
+        cf = ds.samples[ds.index_ls[0]]["color_file"]
+        cache = os.path.join(
+            mini_dexycb, "cache", "hand_contact",
+            cf.replace("color_", "contact_").replace(".jpg", ".npy"))
+        assert os.path.exists(cache), cache
+
+        def boom(*a, **k):
+            raise AssertionError("full-mesh NN recomputed despite cache")
+
+        monkeypatch.setattr(D, "signed_contact_weights", boom)
+        second = ds[0]["force_contact"]
+        np.testing.assert_allclose(first, second)

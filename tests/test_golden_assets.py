@@ -33,25 +33,41 @@ needs_models = pytest.mark.skipif(
     reason="YCB models not present")
 
 
-def make_golden(out_path=GOLDEN, n=8, seed=0):
-    """Generation recipe (run OFFLINE on a host with manopth + the assets):
+def make_golden(out_path=GOLDEN, n=8, seed=0, mano_root=MANO_ROOT):
+    """Generate the manopth golden fixture (one command on a capable host).
 
-    >>> from manopth.manolayer import ManoLayer
-    >>> import torch, numpy as np
-    >>> layer = ManoLayer(ncomps=45, center_idx=0, flat_hand_mean=True,
-    ...                   side="right", mano_root="asset/mano_v1_2/models",
-    ...                   use_pca=False)
-    >>> rs = np.random.RandomState(0)
-    >>> pose = rs.randn(8, 48).astype("float32") * 0.3
-    >>> shape = rs.randn(8, 10).astype("float32") * 0.5
-    >>> v, j = layer(th_pose_coeffs=torch.from_numpy(pose),
-    ...              th_betas=torch.from_numpy(shape))
-    >>> np.savez("asset/golden/mano_golden.npz", pose=pose, shape=shape,
-    ...          verts=v.numpy() / 1000, joints=j.numpy() / 1000)
+    Runnable wherever ``manopth`` + the real MANO pkl exist:
 
-    (mm -> m division matches head_mano.py:85-87.)
+        python -c "from tests.test_golden_assets import make_golden; make_golden()"
+
+    ManoLayer flags match the reference exactly (head_mano.py:48-55:
+    ncomps=45, center_idx=0, flat_hand_mean=True, side=right, use_pca=False);
+    the /1000 matches its get_hand_verts mm->m division (head_mano.py:84-87).
+    This host has neither manopth nor the pkl, so the fixture is produced
+    offline and committed; test_fk_matches_manopth_golden consumes it.
     """
-    raise NotImplementedError("generate offline with manopth; see docstring")
+    import importlib.util
+
+    if importlib.util.find_spec("manopth") is None:
+        raise RuntimeError("manopth is not installed on this host; run "
+                           "make_golden() where it is (see docstring)")
+    if not os.path.exists(os.path.join(mano_root, "MANO_RIGHT.pkl")):
+        raise RuntimeError(f"MANO assets not found under {mano_root}")
+    import torch
+    from manopth.manolayer import ManoLayer
+
+    layer = ManoLayer(ncomps=45, center_idx=0, flat_hand_mean=True,
+                      side="right", mano_root=mano_root, use_pca=False)
+    rs = np.random.RandomState(seed)
+    pose = (rs.randn(n, 48) * 0.3).astype("float32")
+    shape = (rs.randn(n, 10) * 0.5).astype("float32")
+    with torch.no_grad():
+        v, j = layer(th_pose_coeffs=torch.from_numpy(pose),
+                     th_betas=torch.from_numpy(shape))
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    np.savez(out_path, pose=pose, shape=shape,
+             verts=v.numpy() / 1000, joints=j.numpy() / 1000)
+    return out_path
 
 
 @needs_mano

@@ -299,11 +299,18 @@ def test_ode_sampler_vs_reference_cond_ode_sampler():
     assert err_dpm3_bf16 < 1.2 * err_ref, (err_dpm3_bf16, err_ref)
     # the documented rationale for KEEPING 50 steps: every reduced grid
     # fails the same band (measured 2026-08-20: dpm2m@32 0.0725, dpm3m@32
-    # 0.0663, @25 ~0.11 vs band 0.0554).  If a sampler change ever makes a
-    # reduced grid pass, this fails loudly — update docs/PERF.md and
-    # consider promoting instead of silently carrying a stale rationale.
+    # 0.0663, @25 ~0.11 vs band 0.0554).  A tripwire, not a gate: if a
+    # sampler/jax numeric change ever makes a reduced grid pass the band,
+    # WARN loudly (update docs/PERF.md and consider promoting the cheaper
+    # grid) rather than fail — an improvement must not break the suite.
     for k, v in reduced.items():
-        assert v > 1.2 * err_ref, (k, v, err_ref)
+        if v <= 1.2 * err_ref:
+            import warnings
+
+            warnings.warn(
+                f"reduced ODE grid {k} now PASSES the fidelity band "
+                f"({v:.4f} <= {1.2 * err_ref:.4f}) — the 50-step rationale "
+                f"in docs/PERF.md is stale; consider promoting this grid")
     # ...and under the bf16 compute policy (the bench default combines
     # dpm2m + bf16; measured 2026-08-19: 0.0375 vs f32 dpm2m 0.0358 —
     # integration error dominates rounding, same story as heun_bf16)

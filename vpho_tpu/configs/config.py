@@ -79,7 +79,7 @@ class Config:
     random_erasing_mode: str = "pixel"
     random_erasing_min_area: float = 0.02
     random_erasing_max_area: float = 0.2
-    random_erasing_max_count: int = 1
+    random_erasing_max_count: int = 2
     # model (args.py:189-200)
     model: str = "vpho_net"
     sde_mode: str = "ve"
@@ -243,7 +243,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--random_erasing_mode", type=str, default="pixel")
     p.add_argument("--random_erasing_min_area", type=float, default=0.02)
     p.add_argument("--random_erasing_max_area", type=float, default=0.2)
-    p.add_argument("--random_erasing_max_count", type=int, default=1)
+    p.add_argument("--random_erasing_max_count", type=int, default=2)
     p.add_argument("--model", type=str, default="vpho_net", choices=["vpho_net"])
     p.add_argument("--sde_mode", type=str, default="ve", choices=["edm", "ve", "vp", "subvp"])
     p.add_argument("--repeat_num", type=int, default=20)

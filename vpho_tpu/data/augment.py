@@ -42,7 +42,9 @@ class AugmentConfig:
     random_erasing_prob: float = 0.5
     random_erasing_min_area: float = 0.02
     random_erasing_max_area: float = 0.2
-    random_erasing_max_count: int = 1
+    # the reference passes this as timm's min_count with max_count
+    # defaulting to it -> a triggered image erases EXACTLY this many regions
+    random_erasing_max_count: int = 2
     # timm RandomErasing fill mode (base.py:391, --random_erasing_mode):
     # 'pixel' per-pixel noise, 'rand' one noise color per region, 'const' zeros
     random_erasing_mode: str = "pixel"
@@ -56,9 +58,10 @@ class ImageAugmentor:
         c = self.cfg
         img = rgb
         if rng.rand() < c.clahe_prob:
-            img = self._clahe(img)
+            img = self._clahe(img, rng)
         if rng.rand() < c.RGB_shift_prob:
-            shift = rng.uniform(c.shift_limit[0], c.shift_limit[1], size=3)
+            # albumentations RGBShift: independent integer shift per channel
+            shift = rng.randint(c.shift_limit[0], c.shift_limit[1] + 1, size=3)
             img = np.clip(img.astype(np.int16) + shift[None, None], 0, 255).astype(np.uint8)
         if rng.rand() < c.color_jitter_prob:
             img = self._color_jitter(img, rng)
@@ -71,9 +74,12 @@ class ImageAugmentor:
         return img
 
     @staticmethod
-    def _clahe(img: np.ndarray) -> np.ndarray:
+    def _clahe(img: np.ndarray, rng) -> np.ndarray:
+        # albumentations A.CLAHE(clip_limit=4.0) samples the clip limit
+        # uniformly from (1, 4) per call rather than fixing it
         lab = cv2.cvtColor(img, cv2.COLOR_RGB2LAB)
-        clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+        clahe = cv2.createCLAHE(clipLimit=float(rng.uniform(1.0, 4.0)),
+                                tileGridSize=(8, 8))
         lab[..., 0] = clahe.apply(lab[..., 0])
         return cv2.cvtColor(lab, cv2.COLOR_LAB2RGB)
 
@@ -104,23 +110,31 @@ class ImageAugmentor:
         return cv2.filter2D(img, -1, kernel)
 
     def run_random_erasing(self, norm_img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
-        """timm RandomErasing, pixel mode, on the normalized HWC float image."""
+        """timm RandomErasing on the normalized HWC float image.
+
+        Matches timm's semantics as the reference wires it
+        (base.py:386-392 passes its ``random_erasing_max_count`` cfg value
+        as timm's ``min_count``, and timm defaults max_count:=min_count):
+        ONE probability gate per image, then exactly ``max_count`` regions,
+        each with target area ~ U(min,max)*H*W / count (DEVIATIONS.md D15).
+        """
         c = self.cfg
-        img = norm_img
-        for _ in range(c.random_erasing_max_count):
-            if rng.rand() >= c.random_erasing_prob:
-                continue
-            H, W = img.shape[:2]
-            area = H * W
+        if rng.rand() >= c.random_erasing_prob:
+            return norm_img
+        img = norm_img.copy()
+        H, W = img.shape[:2]
+        area = H * W
+        count = c.random_erasing_max_count
+        for _ in range(count):
             for _ in range(10):
-                target = rng.uniform(c.random_erasing_min_area, c.random_erasing_max_area) * area
+                target = rng.uniform(c.random_erasing_min_area,
+                                     c.random_erasing_max_area) * area / count
                 ratio = np.exp(rng.uniform(np.log(0.3), np.log(1 / 0.3)))
                 h = int(round(np.sqrt(target * ratio)))
                 w = int(round(np.sqrt(target / ratio)))
                 if h < H and w < W:
                     y = rng.randint(0, H - h)
                     x = rng.randint(0, W - w)
-                    img = img.copy()
                     if c.random_erasing_mode == "pixel":
                         fill = rng.randn(h, w, img.shape[2])
                     elif c.random_erasing_mode == "rand":

@@ -354,14 +354,37 @@ class DexYCBForceDataset:
         at dexycb6.py:320) — NN against the FULL object mesh verts, normal +
         vertical distance thresholds from cfg, no depth rendering (the
         front/back render cache feeds only get_hand_and_object_contact, whose
-        per-pixel maps the live dataset never consumes)."""
+        per-pixel maps the live dataset never consumes).
+
+        Memoized per image to ``cache/hand_contact/<seq>/contact_*.npy``
+        exactly like the reference (base.py:871-881: color_ -> contact_,
+        .jpg -> .npy) — the labels depend only on the UNAUGMENTED annotation,
+        so the full-mesh NN runs once per image ever, not once per epoch.
+        Cache write failures (read-only tree) degrade to recompute + one
+        warning."""
+        cache_path = os.path.join(
+            self.data_dir, "cache", "hand_contact",
+            color_file.replace("color_", "contact_").replace(".jpg", ".npy"))
+        if os.path.exists(cache_path):
+            return np.load(cache_path).astype(np.float32)
         verts = np.asarray(self.registry.verts_full[obj_id])
         obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
         faces = (self.mano_r if is_right else self.mano_l).faces
         lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
         vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
-        return signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi,
-                                      tangential_thresh=vthresh)
+        w = signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi,
+                                   tangential_thresh=vthresh)
+        try:
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            tmp = cache_path + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:  # atomic rename: loader threads race
+                np.save(f, w)
+            os.replace(tmp, cache_path)
+        except OSError as e:
+            self._warn_once("contact_cache",
+                            f"hand_contact cache not writable ({e}); "
+                            f"recomputing per epoch")
+        return w
 
     def __len__(self):
         return len(self.index_ls)

@@ -414,15 +414,20 @@ class Trainer:
                 # most once per Trainer lifetime, not once per evaluate().
                 from .profiling import trace
 
-                self._trace_done = True
                 try:
                     with trace(self.cfg.trace_dir):
                         pd = self._predict_step(
                             self.state, jbatch, jax.random.fold_in(rng, i))
                         jax.block_until_ready(pd)
+                    # only mark done on SUCCESS: a transient failure (e.g.
+                    # trace dir not yet writable) retries on the next
+                    # evaluate() instead of silently never capturing
+                    self._trace_done = True
                     self.logger.info(f"xprof trace written: {self.cfg.trace_dir}")
                 except Exception as e:  # tracing is best-effort
-                    self.logger.info(f"xprof trace unavailable: {e}")
+                    self.logger.warning(
+                        f"xprof trace failed ({e}); will retry at the next "
+                        f"evaluate()")
                     pd = self._predict_step(
                         self.state, jbatch, jax.random.fold_in(rng, i))
             else:

@@ -41,6 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_dist import tpu_backend
 
+# (requested, effective) clamp pairs already warned about (one warning each)
+_CLAMP_WARNED: set = set()
+
 
 def _kernel(p_ref, w1_ref, a_ref, w2_ref, b2_ref, out_ref, *, s_pad: int):
     """``G`` samples per cell (G = a_ref block rows).
@@ -190,7 +193,19 @@ def fused_bank_mlp(pose_feat: jax.Array, w1_pose: jax.Array, add: jax.Array,
             warnings.warn(f"VPHO_BANK_GROUP={raw!r} is not an integer; "
                           "using the default of 2")
             group = 2
+    requested = group
     group = clamp_group(group, S, pose_feat.shape[-1], n, D, O)
+    if group < requested and (requested, group) not in _CLAMP_WARNED:
+        # one-time loud signal: a user benchmarking VPHO_BANK_GROUP=4 must
+        # be able to tell the kernel actually ran at a smaller group (the
+        # VMEM formula in clamp_group is an estimate, not the compiler's)
+        _CLAMP_WARNED.add((requested, group))
+        import warnings
+
+        warnings.warn(
+            f"fused_bank_mlp: requested group={requested} exceeds the "
+            f"estimated ~14 MB/core VMEM budget at these shapes; clamped "
+            f"to group={group}", stacklevel=2)
     w1_flat = jnp.transpose(w1_pose, (1, 0, 2)).reshape(w1_pose.shape[1], n * D)
     out = _pallas_bank_mlp(
         pose_feat.astype(cd), w1_flat.astype(cd),

@@ -374,6 +374,15 @@ class _Exporter:
     def __init__(self, variables):
         import jax
 
+        missing = [c for c in ("params", "batch_stats", "buffers")
+                   if c not in variables]
+        if missing:
+            raise ValueError(
+                f"export needs the full Flax variables dict with collections "
+                f"params/batch_stats/buffers; missing {missing}. A params-only "
+                f"pickle (e.g. an EMA-weights dump) cannot be exported — load "
+                f"the final_model.pkl written by Trainer.save (it stores all "
+                f"three collections).")
         self.params = jax.tree.map(np.asarray, variables["params"])
         self.stats = jax.tree.map(np.asarray, variables["batch_stats"])
         self.buffers = jax.tree.map(np.asarray, variables["buffers"])
