@@ -57,6 +57,9 @@ class Config:
     eval_batch_size: int = 32
     num_workers: int = 16
     eval_num_workers: int = 8
+    # fuse crop/color/normalize/erase/heatmaps into the device graph; the
+    # loader ships decoded frames + warp/aug params (data/device_pipeline.py)
+    device_preprocess: bool = False
     # augmentation (args.py:165-186)
     center_jittering: float = 0.2
     scale_factor: float = 0.2
@@ -220,6 +223,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--eval_batch_size", type=int, default=32)
     p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--device_preprocess", action="store_true")
     p.add_argument("--eval_num_workers", type=int, default=8)
     p.add_argument("--use_mix_trainset", action="store_true")
     p.add_argument("--center_jittering", type=float, default=0.2)

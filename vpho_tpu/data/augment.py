@@ -24,6 +24,33 @@ def normalize_rgb(rgb: np.ndarray) -> np.ndarray:
     return (rgb.astype(np.float32) / 255.0 - IMG_MEAN) / IMG_STD
 
 
+def motion_blur_kernel(k: int, ang: float) -> np.ndarray:
+    """(k, k) normalized line kernel at angle ``ang`` through the center."""
+    kernel = np.zeros((k, k), np.float32)
+    x0, y0 = k // 2, k // 2
+    dx, dy = np.cos(ang), np.sin(ang)
+    for t in np.linspace(-k / 2, k / 2, 2 * k):
+        xi, yi = int(round(x0 + t * dx)), int(round(y0 + t * dy))
+        if 0 <= xi < k and 0 <= yi < k:
+            kernel[yi, xi] = 1.0
+    kernel /= max(kernel.sum(), 1.0)
+    return kernel
+
+
+def gaussian_kernel2d(k: int, sigma: float) -> np.ndarray:
+    """(k, k) separable Gaussian — exactly cv2.GaussianBlur's kernel."""
+    g = cv2.getGaussianKernel(k, sigma).astype(np.float32)
+    return g @ g.T
+
+
+def _embed_center(kernel: np.ndarray, size: int) -> np.ndarray:
+    out = np.zeros((size, size), np.float32)
+    k = kernel.shape[0]
+    o = (size - k) // 2
+    out[o:o + k, o:o + k] = kernel
+    return out
+
+
 @dataclasses.dataclass
 class AugmentConfig:
     clahe_prob: float = 0.5
@@ -98,16 +125,70 @@ class ImageAugmentor:
     def _motion_blur(self, img: np.ndarray, rng) -> np.ndarray:
         c = self.cfg
         k = int(rng.choice(np.arange(c.motion_blur_limit[0], c.motion_blur_limit[1] + 1, 2)))
-        kernel = np.zeros((k, k), np.float32)
-        ang = rng.rand() * np.pi
-        x0, y0 = k // 2, k // 2
-        dx, dy = np.cos(ang), np.sin(ang)
-        for t in np.linspace(-k / 2, k / 2, 2 * k):
-            xi, yi = int(round(x0 + t * dx)), int(round(y0 + t * dy))
-            if 0 <= xi < k and 0 <= yi < k:
-                kernel[yi, xi] = 1.0
-        kernel /= max(kernel.sum(), 1.0)
-        return cv2.filter2D(img, -1, kernel)
+        return cv2.filter2D(img, -1, motion_blur_kernel(k, rng.rand() * np.pi))
+
+    # -- device-pipeline parameter sampling (data/device_pipeline.py) -----
+
+    BLUR_K = 13  # 7 (gaussian) full-conv 7 (motion) = 13
+
+    def sample_device_params(self, rng: np.random.RandomState,
+                             patch: int) -> dict:
+        """Host-side draw of every stochastic knob; pixels run on device.
+
+        Same per-op trigger probabilities and value distributions as
+        ``run_color`` + ``run_random_erasing``; identity values where an op
+        doesn't trigger (shift 0, bcsh (1,1,1,0), delta kernel, h=0 rects).
+        CLAHE is not sampled here — it stays host-side (``maybe_clahe``),
+        applied to the full frame pre-warp (DEVIATIONS.md D15).
+        """
+        c = self.cfg
+        shift = np.zeros(3, np.float32)
+        if rng.rand() < c.RGB_shift_prob:
+            shift = rng.randint(c.shift_limit[0], c.shift_limit[1] + 1,
+                                size=3).astype(np.float32)
+        bcsh = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+        if rng.rand() < c.color_jitter_prob:
+            bcsh = np.array([rng.uniform(*c.brightness),
+                             rng.uniform(*c.contrast),
+                             rng.uniform(*c.saturation),
+                             rng.uniform(*c.hue)], np.float32)
+        kern = np.zeros((1, 1), np.float32)
+        kern[0, 0] = 1.0
+        if rng.rand() < c.gaussian_blur_prob:
+            k = int(rng.choice(np.arange(c.blur_limit[0], c.blur_limit[1] + 1, 2)))
+            kern = gaussian_kernel2d(k, rng.uniform(*c.sigma_limit))
+        if rng.rand() < c.motion_blur_prob:
+            k = int(rng.choice(np.arange(c.motion_blur_limit[0],
+                                         c.motion_blur_limit[1] + 1, 2)))
+            km = motion_blur_kernel(k, rng.rand() * np.pi)
+            # two sequential correlations == one correlation with the full
+            # 2-D convolution of the kernels
+            from scipy.signal import convolve2d
+
+            kern = convolve2d(kern, km, mode="full").astype(np.float32)
+        rects = np.zeros((max(1, c.random_erasing_max_count), 4), np.int32)
+        if rng.rand() < c.random_erasing_prob:
+            count = c.random_erasing_max_count
+            area = patch * patch
+            for r in range(count):
+                for _ in range(10):
+                    target = rng.uniform(c.random_erasing_min_area,
+                                         c.random_erasing_max_area) * area / count
+                    ratio = np.exp(rng.uniform(np.log(0.3), np.log(1 / 0.3)))
+                    h = int(round(np.sqrt(target * ratio)))
+                    w = int(round(np.sqrt(target / ratio)))
+                    if h < patch and w < patch:
+                        rects[r] = (rng.randint(0, patch - h),
+                                    rng.randint(0, patch - w), h, w)
+                        break
+        return {"rgb_shift": shift, "jitter_bcsh": bcsh,
+                "blur_kernel": _embed_center(kern, self.BLUR_K),
+                "erase_rects": rects}
+
+    def maybe_clahe(self, rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
+        if rng.rand() < self.cfg.clahe_prob:
+            return self._clahe(rgb, rng)
+        return rgb
 
     def run_random_erasing(self, norm_img: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         """timm RandomErasing on the normalized HWC float image.

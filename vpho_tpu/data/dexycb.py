@@ -232,6 +232,10 @@ class DexYCBForceDataset:
         self.samples, self.index_ls = self._load_samples()
         self.date2extr, self.date_ls = self._load_cam_extr()
         self.date2gravity = self._load_gravity()
+        # device_preprocess: items carry the decoded full frame + warp/aug
+        # parameters; pixel work (crop, color, normalize, erase, heatmaps)
+        # runs on-device in one jitted graph (data/device_pipeline.py)
+        self.device_mode = bool(getattr(cfg, "device_preprocess", False))
         self._warned: set = set()
 
     # -- index / caches --------------------------------------------------
@@ -342,7 +346,7 @@ class DexYCBForceDataset:
         self._warn_once("force", "pseudo-force cache missing (run force_optim); using zeros")
         return np.zeros((32, 3), np.float32)
 
-    def get_contact(self, color_file: str, hand_vert: np.ndarray, obj_id: int,
+    def get_contact(self, color_file: str, hand_vert_fn, obj_id: int,
                     obj_rt: np.ndarray, is_right: bool = True) -> np.ndarray:
         """Per-hand-vertex contact weight: SIGNED normal distance to the
         nearest object point pushed through the sigmoid band
@@ -372,8 +376,8 @@ class DexYCBForceDataset:
         faces = (self.mano_r if is_right else self.mano_l).faces
         lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
         vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
-        w = signed_contact_weights(hand_vert, faces, obj_cam, lo=lo, hi=hi,
-                                   tangential_thresh=vthresh)
+        w = signed_contact_weights(hand_vert_fn(), faces, obj_cam, lo=lo,
+                                   hi=hi, tangential_thresh=vthresh)
         try:
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             tmp = cache_path + f".tmp{os.getpid()}"
@@ -429,9 +433,12 @@ class DexYCBForceDataset:
         gravity = self.get_gravity(sample["color_file"]).astype(np.float32)
 
         # contact -> anchors -> is_grasped (host-side numpy)
-        gt_vert0, _ = get_hand_vert(aa_flat, beta, global_rot, transl, is_right)
-        contact = self.get_contact(sample["color_file"], gt_vert0, obj_id,
-                                   obj_rt, is_right)
+        # lazy: the pre-aug FK is only needed on a contact-cache MISS
+        contact = self.get_contact(
+            sample["color_file"],
+            lambda: get_hand_vert(aa_flat, beta, global_rot, transl,
+                                  is_right)[0],
+            obj_id, obj_rt, is_right)
         force_contact = anchor_lib.pool_contact_to_anchors_np(self.tables, contact)
         is_grasped = anchor_lib.check_is_grasped_np(force_contact)
         force_local = self.get_force(sample["color_file"])
@@ -447,7 +454,6 @@ class DexYCBForceDataset:
 
         for _ in range(100):
             R3, A2, K_crop = self._augmentation_rotmat(center_jit, scale, rot, jt2d, kpt2d, K)
-            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
             _jt2d = jt2d @ A2[:2, :2].T + A2[:2, 2]
             _kpt2d = kpt2d @ A2[:2, :2].T + A2[:2, 2]
             bbox_hand = expand_bbox(pt2d_to_bbox(_jt2d), 1.15)
@@ -460,6 +466,11 @@ class DexYCBForceDataset:
         else:
             raise ValueError(f"index {index}: bbox out of image")
         jt2d, kpt2d = _jt2d, _kpt2d
+        patch = None
+        if not self.device_mode:
+            # only the accepted affine is ever rendered (the retry loop is
+            # pure 2D-point math, no pixel work)
+            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
 
         # 3D rotation consistency + FK translation fix (dexycb6.py:368-387)
         jt3d = jt3d @ R3.T
@@ -474,23 +485,29 @@ class DexYCBForceDataset:
         gravity = gravity @ R3.T
         obj_com = obj_com @ R3.T
 
+        aug_params = None
         if self.is_train:
-            patch = self.augmentor.run_color(patch, rng)
+            if self.device_mode:
+                rgb = self._clahe_source_region(rgb, rng, A2, P)
+                aug_params = self.augmentor.sample_device_params(rng, P)
+            else:
+                patch = self.augmentor.run_color(patch, rng)
 
         # left-hand flip protocol (dexycb6.py:394-431)
         gt_hand_vert_flip = gt_hand_vert.copy()
         gt_jt3d_flip = jt3d.copy()
         K_crop_flip = K_crop.copy()
         if not is_right:
-            patch = patch[:, ::-1].copy()
+            if patch is not None:
+                patch = patch[:, ::-1].copy()
             jt2d = jt2d.copy()
-            jt2d[:, 0] = patch.shape[1] - jt2d[:, 0]
+            jt2d[:, 0] = P - jt2d[:, 0]
             gt_jt3d_flip[:, 0] *= -1
             gt_hand_vert_flip[:, 0] *= -1
             kpt2d = kpt2d.copy()
-            kpt2d[:, 0] = patch.shape[1] - kpt2d[:, 0]
+            kpt2d[:, 0] = P - kpt2d[:, 0]
             for b in (bbox_hand, bbox_obj, bbox_hand_rect, bbox_obj_rect):
-                b[[0, 2]] = patch.shape[1] - b[[2, 0]]
+                b[[0, 2]] = P - b[[2, 0]]
             aa = aa_mean.reshape(-1, 3).copy()
             aa[:, 1:] *= -1
             aa_mean = aa.reshape(-1)
@@ -498,27 +515,57 @@ class DexYCBForceDataset:
             global_rot[1:] *= -1
             transl = transl.copy()
             transl[0] *= -1
-            K_crop_flip[0, 2] = patch.shape[1] - K_crop_flip[0, 2]
+            K_crop_flip[0, 2] = P - K_crop_flip[0, 2]
             aa_flat = aa_mean + np.asarray(self.mano_r.hands_mean)
-            _, _jt3d = get_hand_vert(aa_flat, beta, global_rot, transl, True)
-            transl = transl + (gt_jt3d_flip[0] - _jt3d[0])
-        _, _jt3d = get_hand_vert(aa_flat, beta, global_rot, transl, True)
-
-        root_flip = _jt3d[0].astype(np.float32)
+            # reference: FK the flipped hand and re-correct the translation
+            # through its wrist (dexycb6.py:425-431).  Our FK is
+            # wrist-centered (joints[0] == 0, so FK root == transl), which
+            # collapses that correction to transl = flipped root — no FK
+            # dispatch needed (pinned by test_left_hand_flip_protocol)
+            transl = gt_jt3d_flip[0].copy()
+        # final root through the (possibly flipped) FK: wrist-centered FK
+        # makes it exactly transl (== gt_jt3d_flip root by construction)
+        root_flip = gt_jt3d_flip[0].astype(np.float32)
         gt_hand_vert_flip = gt_hand_vert_flip - gt_jt3d_flip[0]
         gt_jt3d_flip = gt_jt3d_flip - gt_jt3d_flip[0]
 
-        # heatmaps (dexycb6.py:433-438): hand adaptive, obj square — native
-        # host kernels (no per-sample device dispatch in data workers)
-        hm_hand = adaptive_bbox_heatmap_np(
-            jt2d, bbox_hand, self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma)
-        hm_obj = square_bbox_heatmap_np(
-            kpt2d, bbox_obj_rect, self.cfg.heatmap_size,
-            self.cfg.heatmap_obj_sigma, is_right)
+        if self.device_mode:
+            # pixel work deferred to the device graph: ship the decoded
+            # frame, the dst->src affine (flip folded in for left hands),
+            # post-warp 2D points + aug knobs; data/device_pipeline.py
+            # produces rgb / hm_hand / hm_obj on-device
+            A3 = A2.copy()
+            if not is_right:
+                A3 = np.array([[-1.0, 0.0, P - 1.0],
+                               [0.0, 1.0, 0.0],
+                               [0.0, 0.0, 1.0]]) @ A3
+            minv = np.linalg.inv(A3)[:2].astype(np.float32)
+            pixel_fields = {
+                "rgb_full": rgb.astype(np.uint8),
+                "warp_minv": minv,
+                "jt2d": jt2d.astype(np.float32),
+                "kpt2d": kpt2d.astype(np.float32),
+            }
+            if aug_params is not None:
+                pixel_fields.update(aug_params)
+        else:
+            # heatmaps (dexycb6.py:433-438): hand adaptive, obj square —
+            # native host kernels (no per-sample device dispatch in workers)
+            hm_hand = adaptive_bbox_heatmap_np(
+                jt2d, bbox_hand, self.cfg.heatmap_size,
+                self.cfg.heatmap_hand_sigma)
+            hm_obj = square_bbox_heatmap_np(
+                kpt2d, bbox_obj_rect, self.cfg.heatmap_size,
+                self.cfg.heatmap_obj_sigma, is_right)
 
-        rgb_norm = normalize_rgb(patch)
-        if self.is_train:
-            rgb_norm = self.augmentor.run_random_erasing(rgb_norm, rng)
+            rgb_norm = normalize_rgb(patch)
+            if self.is_train:
+                rgb_norm = self.augmentor.run_random_erasing(rgb_norm, rng)
+            pixel_fields = {
+                "rgb": rgb_norm.astype(np.float32),          # HWC (NHWC batch)
+                "hm_hand": hm_hand.astype(np.float32),
+                "hm_obj": hm_obj.astype(np.float32),
+            }
 
         # wrist-relative object pose; object never flipped (dexycb6.py:446-451)
         root = jt3d[0].astype(np.float32)
@@ -529,14 +576,12 @@ class DexYCBForceDataset:
         return {
             "index": np.int32(index),
             "is_ho3d": False,
-            "rgb": rgb_norm.astype(np.float32),              # HWC (NHWC batch)
+            **pixel_fields,
             "root_joint": root,
             "bbox_hand": bbox_hand.astype(np.float32),
             "bbox_obj": bbox_obj.astype(np.float32),
             "bbox_hand_rect": bbox_hand_rect.astype(np.float32),
             "bbox_obj_rect": bbox_obj_rect.astype(np.float32),
-            "hm_hand": hm_hand.astype(np.float32),
-            "hm_obj": hm_obj.astype(np.float32),
             "is_right": bool(is_right),
             "gt_obj": gt_obj,
             "gt_obj_rt": obj_rt[:3].astype(np.float32),      # camera frame
@@ -556,6 +601,33 @@ class DexYCBForceDataset:
             "force_contact": force_contact.astype(np.float32),
             "force_local": force_local,
         }
+
+    def _clahe_source_region(self, rgb, rng, A2, P):
+        """Device-mode CLAHE: equalize only the source pixels the warp reads.
+
+        The host path runs CLAHE on the warped patch (reference order);
+        with the warp on-device, equalizing the axis-aligned source bbox of
+        the crop (+2px bicubic margin) is the closest host-side stand-in —
+        same content, same 8x8 tile scale relative to the hand, ~4x cheaper
+        than the full 640x480 frame (DEVIATIONS.md D15).  Draw order
+        matches run_color (clahe gate first) to keep the host/device RNG
+        streams aligned.
+        """
+        if rng.rand() >= self.augmentor.cfg.clahe_prob:
+            return rgb
+        corners = np.array([[0, 0], [P - 1, 0], [0, P - 1], [P - 1, P - 1]],
+                           np.float32)
+        inv = np.linalg.inv(A2)
+        src = corners @ inv[:2, :2].T + inv[:2, 2]
+        x0, y0 = np.floor(src.min(0)).astype(int) - 2
+        x1, y1 = np.ceil(src.max(0)).astype(int) + 3
+        x0, y0 = max(0, x0), max(0, y0)
+        x1, y1 = min(rgb.shape[1], x1), min(rgb.shape[0], y1)
+        if x1 - x0 < 8 or y1 - y0 < 8:
+            return rgb
+        out = rgb.copy()
+        out[y0:y1, x0:x1] = self.augmentor._clahe(rgb[y0:y1, x0:x1], rng)
+        return out
 
     def _augmentation_rotmat(self, center_jit, scale_factor, rot, jt2d, kpt2d, K):
         """base.py:522-574: joint 2D affine + matching 3D optical-axis rot."""

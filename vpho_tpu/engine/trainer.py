@@ -230,6 +230,11 @@ class Trainer:
 
     def init_state(self, sample_batch, steps_per_epoch: int):
         rng = jax.random.PRNGKey(self.cfg.random_seed or 206)
+        if "rgb_full" in sample_batch:
+            # device-preprocess loader: materialize rgb/heatmaps once so
+            # model.init sees the model-facing batch contract
+            sample_batch = jax.device_get(
+                self._device_preprocess(is_train=True)(sample_batch))
         self.state = create_train_state(
             self.model, self.ctx, self.cfg, sample_batch, steps_per_epoch, rng)
         self._load_initial_weights()
@@ -323,6 +328,26 @@ class Trainer:
                  "buffers": self.state.buffers}), f)
         self.logger.info(f"Saved final model: {path}")
 
+    def _device_preprocess(self, is_train: bool):
+        """Cached jitted input-preprocess closure, or None when disabled.
+
+        ``--device_preprocess``: the loader ships decoded frames + warp/aug
+        params and this graph does crop/color/normalize/erase/heatmaps
+        on-device (data/device_pipeline.py).  The closure no-ops on batches
+        that already carry ``rgb`` (synthetic fixture stream), so the loops
+        apply it unconditionally when the flag is set.
+        """
+        if not getattr(self.cfg, "device_preprocess", False):
+            return None
+        key = "train" if is_train else "eval"
+        if not hasattr(self, "_dev_pre"):
+            self._dev_pre = {}
+        if key not in self._dev_pre:
+            from ..data.device_pipeline import make_device_preprocess
+
+            self._dev_pre[key] = make_device_preprocess(self.cfg, is_train)
+        return self._dev_pre[key]
+
     # -- loops -----------------------------------------------------------
 
     def train_one_epoch(self, epoch: int, batches: Iterable[Dict[str, Any]],
@@ -333,6 +358,9 @@ class Trainer:
         t0 = time.time()
         last = {}
 
+        pre = self._device_preprocess(is_train=True)
+        counter = iter(range(1 << 30))
+
         def stage(batch):
             n = next(iter(batch.values())).shape[0]
             if n % self.mesh.size:
@@ -340,7 +368,13 @@ class Trainer:
                     f"train batch size {n} must be divisible by the "
                     f"{self.mesh.size}-device mesh (set --batch_size or "
                     f"--num_devices accordingly)")
-            return shard_batch(batch, self.mesh)
+            sharded = shard_batch(batch, self.mesh)
+            if pre is not None:
+                # fused on-device crop/aug/heatmaps; dispatched from the
+                # prefetch thread so it overlaps the running step
+                sharded = pre(sharded,
+                              jax.random.fold_in(rng, 1 + next(counter)))
+            return sharded
 
         # double-buffered input: batch i+1 is assembled + device_put while
         # step i runs (DataLoader-workers/pin_memory equivalent)
@@ -378,6 +412,8 @@ class Trainer:
                        for k in ("one_candidate", "mean_candidate_pose")}
         collector_res = []
 
+        pre = self._device_preprocess(is_train=False)
+
         def stage(batch):
             valid = batch.pop("_valid", None)
             index = batch.pop("_index", None)
@@ -392,7 +428,10 @@ class Trainer:
                 if index is not None:
                     index = np.concatenate(
                         [np.asarray(index), np.full(target - n, -1)])
-            return shard_batch(batch, self.mesh), valid, index
+            sharded = shard_batch(batch, self.mesh)
+            if pre is not None:
+                sharded = pre(sharded)
+            return sharded, valid, index
 
         for i, (jbatch, valid, index) in enumerate(prefetch(batches, stage)):
             if i == 0:
@@ -649,6 +688,9 @@ class Trainer:
                     index = np.concatenate(
                         [np.asarray(index), np.full(target - n, -1)])
             jbatch = shard_batch(batch, self.mesh)
+            pre = self._device_preprocess(is_train=False)
+            if pre is not None:
+                jbatch = pre(jbatch)
             pd = step(self.state, jbatch, jax.random.fold_in(rng, i))
             n_rows = int(pd["diff_final_obj_6d"].shape[0])
             own = host_local_indices(pd["diff_final_obj_6d"], n_rows)
@@ -723,6 +765,9 @@ class Trainer:
                     index = np.concatenate(
                         [np.asarray(index), np.full(target - n, -1)])
             jbatch = shard_batch(batch, self.mesh)
+            pre = self._device_preprocess(is_train=False)
+            if pre is not None:
+                jbatch = pre(jbatch)
             pd = self._predict_step(self.state, jbatch, jax.random.fold_in(rng, i))
 
             root = jbatch["root_joint"]

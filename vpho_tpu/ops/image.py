@@ -207,6 +207,72 @@ def roi_align(features: jax.Array, boxes: jax.Array, output_size: int,
     return jnp.einsum("bhsc,bth->btsc", rows, wy)                 # (B, os, os, C)
 
 
+def affine_warp(img: jax.Array, minv: jax.Array, out_size: int,
+                rectilinear: bool = False) -> jax.Array:
+    """Batched inverse-affine image warp (cv2.warpAffine semantics), NHWC.
+
+    img: (B, H, W, C) float; minv: (B, 2, 3) DST->SRC affine (the inverse of
+    the matrix passed to cv2.warpAffine); out_size: P -> (B, P, P, C).
+    Bicubic (Keys A=-0.75 == cv2 INTER_CUBIC), zero border, pixel centers at
+    integer coordinates (cv2's convention).
+
+    Replaces the loader's per-item host ``cv2.warpAffine`` (data/dexycb.py;
+    reference dexycb6.py:339-364) with on-device resampling:
+
+    * ``rectilinear=True`` (no in-plane rotation — every eval crop, and
+      train crops when rot aug doesn't trigger): src x depends only on dst
+      column and src y only on dst row, so the bicubic kernel is evaluated
+      DENSELY over each source axis and applied as two einsum contractions
+      — pure MXU work, no gathers (same trick as ``sample_points``).
+    * general (rotated train crops): a rotated grid is non-separable, so
+      the dense trick would cost B*P^2*W*H*C MACs (~8 TFLOP at loader
+      shapes) — here the classic 16-tap gather form wins; measured in
+      bench_input.py / test_device_pipeline.py.
+    """
+    B, H, W, C = img.shape
+    P = out_size
+    jj = jnp.arange(P, dtype=jnp.float32)
+    if rectilinear:
+        xs = minv[:, 0, 0, None] * jj + minv[:, 0, 2, None]      # (B, P)
+        ys = minv[:, 1, 1, None] * jj + minv[:, 1, 2, None]      # (B, P)
+        wx = _keys_kernel(jnp.arange(W, dtype=xs.dtype) - xs[..., None])
+        wy = _keys_kernel(jnp.arange(H, dtype=ys.dtype) - ys[..., None])
+        rows = jnp.einsum("bhwc,bsw->bhsc", img, wx)
+        return jnp.einsum("bhsc,bth->btsc", rows, wy)
+    # general affine: per output pixel (i, j):
+    #   xs = m00 j + m01 i + m02 ,  ys = m10 j + m11 i + m12
+    # A rotated grid is non-separable, but the dense-kernel trick still
+    # applies per ROW-BLOCK: scan over blocks of output rows, contract the
+    # W axis with a dense bicubic weight (one real matmul per block), then
+    # reduce the H axis with the (block-local) dense y-weight.  Gather-free
+    # (the 16-tap gather form measured 863 ms/batch on the chip vs ~tens
+    # of ms for this; XLA TPU gathers are the slowest op family).
+    block = 8
+    assert P % block == 0, (P, block)
+    ww = jnp.arange(W, dtype=jnp.float32)
+    hh = jnp.arange(H, dtype=jnp.float32)
+
+    def body(_, ib):
+        ii = (ib * block + jnp.arange(block, dtype=jnp.float32))  # (block,)
+        xs = (minv[:, 0, 0, None, None] * jj[None, :]
+              + minv[:, 0, 1, None, None] * ii[:, None]
+              + minv[:, 0, 2, None, None])                       # (B, blk, P)
+        ys = (minv[:, 1, 0, None, None] * jj[None, :]
+              + minv[:, 1, 1, None, None] * ii[:, None]
+              + minv[:, 1, 2, None, None])
+        kx = _keys_kernel(ww - xs[..., None])                    # (B,blk,P,W)
+        ky = _keys_kernel(hh - ys[..., None])                    # (B,blk,P,H)
+        r = kx.shape[1] * kx.shape[2]
+        rows = jnp.einsum("bhwc,brw->brhc", img,
+                          kx.reshape(B, r, W))                   # (B,r,H,C)
+        out = jnp.einsum("brhc,brh->brc", rows, ky.reshape(B, r, H))
+        return _, out.reshape(B, block, P, C)
+
+    _, blocks = jax.lax.scan(body, None,
+                             jnp.arange(P // block, dtype=jnp.float32))
+    return jnp.moveaxis(blocks, 0, 1).reshape(B, P, P, C)
+
+
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
     """NCHW bilinear resize, align_corners=False (torch F.interpolate)."""
     B, C, H, W = x.shape
