@@ -224,10 +224,19 @@ def affine_warp(img: jax.Array, minv: jax.Array, out_size: int,
       column and src y only on dst row, so the bicubic kernel is evaluated
       DENSELY over each source axis and applied as two einsum contractions
       — pure MXU work, no gathers (same trick as ``sample_points``).
-    * general (rotated train crops): a rotated grid is non-separable, so
-      the dense trick would cost B*P^2*W*H*C MACs (~8 TFLOP at loader
-      shapes) — here the classic 16-tap gather form wins; measured in
-      bench_input.py / test_device_pipeline.py.
+    * general (rotated train crops): a rotated grid is non-separable as a
+      direct tensor product, but the affine factors into TWO 1-D resample
+      passes (Catmull & Smith '80 / LU decomposition of the 2x2 block):
+      pass 1 x-resamples every SOURCE row at the sheared column positions,
+      pass 2 y-resamples the result per output pixel.  Both passes are
+      dense-kernel einsums — gather-free (the 16-tap gather form measured
+      863 ms/batch on the chip; dense scan-blocked forms compiled for
+      minutes and ran seconds).  The composed kernel is a SHEARED cubic
+      tensor product rather than cv2's axis-aligned one: identical on the
+      axis-aligned case, and within ~2/255 mean (27/255 max on white
+      noise) of cv2 INTER_CUBIC under rotation
+      (tests/test_device_pipeline.py).  Batch is processed in chunks to
+      bound the dense-weight footprint (~1.3 GB bf16 per 8 samples).
     """
     B, H, W, C = img.shape
     P = out_size
@@ -239,38 +248,32 @@ def affine_warp(img: jax.Array, minv: jax.Array, out_size: int,
         wy = _keys_kernel(jnp.arange(H, dtype=ys.dtype) - ys[..., None])
         rows = jnp.einsum("bhwc,bsw->bhsc", img, wx)
         return jnp.einsum("bhsc,bth->btsc", rows, wy)
-    # general affine: per output pixel (i, j):
-    #   xs = m00 j + m01 i + m02 ,  ys = m10 j + m11 i + m12
-    # A rotated grid is non-separable, but the dense-kernel trick still
-    # applies per ROW-BLOCK: scan over blocks of output rows, contract the
-    # W axis with a dense bicubic weight (one real matmul per block), then
-    # reduce the H axis with the (block-local) dense y-weight.  Gather-free
-    # (the 16-tap gather form measured 863 ms/batch on the chip vs ~tens
-    # of ms for this; XLA TPU gathers are the slowest op family).
-    block = 8
-    assert P % block == 0, (P, block)
-    ww = jnp.arange(W, dtype=jnp.float32)
     hh = jnp.arange(H, dtype=jnp.float32)
-
-    def body(_, ib):
-        ii = (ib * block + jnp.arange(block, dtype=jnp.float32))  # (block,)
-        xs = (minv[:, 0, 0, None, None] * jj[None, :]
-              + minv[:, 0, 1, None, None] * ii[:, None]
-              + minv[:, 0, 2, None, None])                       # (B, blk, P)
-        ys = (minv[:, 1, 0, None, None] * jj[None, :]
-              + minv[:, 1, 1, None, None] * ii[:, None]
-              + minv[:, 1, 2, None, None])
-        kx = _keys_kernel(ww - xs[..., None])                    # (B,blk,P,W)
-        ky = _keys_kernel(hh - ys[..., None])                    # (B,blk,P,H)
-        r = kx.shape[1] * kx.shape[2]
-        rows = jnp.einsum("bhwc,brw->brhc", img,
-                          kx.reshape(B, r, W))                   # (B,r,H,C)
-        out = jnp.einsum("brhc,brh->brc", rows, ky.reshape(B, r, H))
-        return _, out.reshape(B, block, P, C)
-
-    _, blocks = jax.lax.scan(body, None,
-                             jnp.arange(P // block, dtype=jnp.float32))
-    return jnp.moveaxis(blocks, 0, 1).reshape(B, P, P, C)
+    ww = jnp.arange(W, dtype=jnp.float32)
+    ii = jnp.arange(P, dtype=jnp.float32)
+    bf = jnp.bfloat16
+    chunk = min(B, 8)
+    outs = []
+    for b0 in range(0, B, chunk):
+        b1 = min(B, b0 + chunk)
+        m = minv[b0:b1]
+        m00, m01, m02 = m[:, 0, 0, None, None], m[:, 0, 1, None, None], m[:, 0, 2, None, None]
+        m10, m11, m12 = m[:, 1, 0, None, None], m[:, 1, 1, None, None], m[:, 1, 2, None, None]
+        # pass 1: for source row h and output column j, the output row that
+        # lands on h is i(h,j) = (h - m12 - m10 j)/m11 (m11 = cos/scale > 0
+        # for |rot| < 90 deg); x-center follows the sheared column
+        i_of = (hh[None, :, None] - m12 - m10 * jj[None, None, :]) / m11
+        xc = m00 * jj[None, None, :] + m01 * i_of + m02           # (b,H,P)
+        w1 = _keys_kernel(ww[None, None, None] - xc[..., None])   # (b,H,P,W)
+        T = jnp.einsum("bhwc,bhjw->bhjc", img[b0:b1].astype(bf),
+                       w1.astype(bf), preferred_element_type=jnp.float32)
+        # pass 2: y-resample at the exact source row of each output pixel
+        ys = m10 * jj[None, None, :] + m11 * ii[None, :, None] + m12
+        w2 = _keys_kernel(hh[None, None, None] - ys[..., None])   # (b,P,P,H)
+        outs.append(jnp.einsum("bhjc,bijh->bijc", T.astype(bf),
+                               w2.astype(bf),
+                               preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
 
 
 def resize_bilinear(x: jax.Array, size: tuple[int, int]) -> jax.Array:
