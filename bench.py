@@ -62,7 +62,7 @@ def main():
     method = os.environ.get("BENCH_METHOD", "dpm3m")
     from vpho_tpu.utils import transforms as T
 
-    T.QUAT_MEAN_IMPL = os.environ.get("BENCH_QUAT", T.QUAT_MEAN_IMPL)
+    T.set_quat_mean_impl(os.environ.get("BENCH_QUAT", T.QUAT_MEAN_IMPL))
     cfg = ModelConfig(sample_num=sample_num, sampling_steps=steps,
                       topk_hand=30, topk_obj=10, patch_size=256,
                       compute_dtype=dtype_name, ode_method=method)

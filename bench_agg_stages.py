@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from vpho_tpu.data.fixtures import make_batch
 from vpho_tpu.utils import transforms as T_mod
 
-T_mod.QUAT_MEAN_IMPL = os.environ.get("BENCH_QUAT", T_mod.QUAT_MEAN_IMPL)
+T_mod.set_quat_mean_impl(os.environ.get("BENCH_QUAT", T_mod.QUAT_MEAN_IMPL))
 from vpho_tpu.diffusion.sampler import ode_sampler
 from vpho_tpu.models import aggregation as agg
 from vpho_tpu.models import anchor as anchor_lib

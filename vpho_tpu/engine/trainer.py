@@ -199,7 +199,7 @@ class Trainer:
         # module-level switch, captured at trace time by every jitted graph
         # (plumbing a static arg through the many aggregation call sites
         # would buy nothing — the choice is global per run)
-        T.QUAT_MEAN_IMPL = cfg.quat_mean_impl
+        T.set_quat_mean_impl(cfg.quat_mean_impl)
         stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
         run_name = f"{stamp}_{cfg.mark}_{cfg.mode}_{cfg.model}"
         self.save_dir = os.path.join(cfg.output_dir, run_name)

@@ -197,7 +197,29 @@ def matrix_to_rotation_6d(m: jax.Array) -> jax.Array:
 # pure batched 4x4 matmuls, MXU/VPU work).  Module-level so the many
 # aggregation call sites need no plumbing; set it BEFORE tracing (jit
 # captures the choice at trace time).  CLI: --quat_mean_impl.
+#
+# This is the one piece of global mutable config in the codebase; use
+# set_quat_mean_impl() rather than assigning directly — it detects the
+# two-configs-in-one-process footgun (a trace already captured a
+# DIFFERENT value, which the new assignment cannot retroactively change)
+# and warns loudly instead of silently splitting behavior.
 QUAT_MEAN_IMPL = "eigh"
+_QUAT_IMPL_TRACED: set = set()
+
+
+def set_quat_mean_impl(impl: str) -> None:
+    global QUAT_MEAN_IMPL
+    if impl not in ("eigh", "power"):
+        raise ValueError(f"quat_mean_impl must be eigh|power, got {impl!r}")
+    if _QUAT_IMPL_TRACED and impl not in _QUAT_IMPL_TRACED:
+        import warnings
+
+        warnings.warn(
+            f"quat_mean_impl set to {impl!r} but traces already captured "
+            f"{sorted(_QUAT_IMPL_TRACED)} — existing jitted functions keep "
+            f"the old choice; embed one config per process (or pass "
+            f"impl= explicitly)", stacklevel=2)
+    QUAT_MEAN_IMPL = impl
 
 
 def dominant_eigvec_4x4_power(A: jax.Array, squarings: int = 5) -> jax.Array:
@@ -237,7 +259,10 @@ def average_quaternion(Q: jax.Array, W: jax.Array | None = None,
     A = jnp.einsum("...ni,...nj->...nij", oriented, oriented, precision=_HI)
     A = jnp.sum(A * W[..., None, None], axis=-3)
     A = A / weight_sum[..., None]
-    if (impl or QUAT_MEAN_IMPL) == "power":
+    chosen = impl or QUAT_MEAN_IMPL
+    if impl is None:
+        _QUAT_IMPL_TRACED.add(chosen)
+    if chosen == "power":
         q_avg = dominant_eigvec_4x4_power(A)
     else:
         # largest-eigenvalue eigenvector == last column of eigh's eigenvectors
