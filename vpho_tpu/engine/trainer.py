@@ -371,9 +371,13 @@ class Trainer:
             sharded = shard_batch(batch, self.mesh)
             if pre is not None:
                 # fused on-device crop/aug/heatmaps; dispatched from the
-                # prefetch thread so it overlaps the running step
-                sharded = pre(sharded,
-                              jax.random.fold_in(rng, 1 + next(counter)))
+                # prefetch thread so it overlaps the running step.  Keys
+                # live in their own fold-in domain (0x5A5A tag) so the
+                # erase-noise stream can never collide with the train
+                # step's fold_in(rng, state.step) stream
+                k = jax.random.fold_in(jax.random.fold_in(rng, 0x5A5A),
+                                       next(counter))
+                sharded = pre(sharded, k)
             return sharded
 
         # double-buffered input: batch i+1 is assembled + device_put while
