@@ -33,7 +33,18 @@ def _write_frame(root, split, seq, frame, meta, rng):
     rgb_dir.mkdir(parents=True, exist_ok=True)
     with open(meta_dir / f"{frame}.pkl", "wb") as f:
         pickle.dump(meta, f)
-    img = (rng.rand(480, 640, 3) * 255).astype(np.uint8)
+    # image-like content (gradients + noise), not white noise: the device
+    # warp's LU kernel is pinned against cv2 on natural spectra
+    yy, xx = np.mgrid[0:480, 0:640].astype(np.float32)
+    img = np.stack([127 + 80 * np.sin(xx / 37) + 15 * rng.randn(480, 640),
+                    127 + 80 * np.cos(yy / 53) + 15 * rng.randn(480, 640),
+                    127 + 60 * np.sin((xx + yy) / 71) + 15 * rng.randn(480, 640)],
+                   -1)
+    # PNG is lossless (real HO3D ships PNG) so pre-blur the synthetic noise
+    # to a photographic spectrum — JPEG compression does this implicitly
+    # for the DexYCB fixture
+    img = cv2.GaussianBlur(np.clip(img, 0, 255).astype(np.float32), (3, 3), 0.8)
+    img = np.clip(img, 0, 255).astype(np.uint8)
     cv2.imwrite(str(rgb_dir / f"{frame}.png"), img)
 
 
@@ -157,6 +168,37 @@ class TestTrainItem:
         for k in ("bbox_hand_rect", "bbox_obj_rect"):
             b = item[k]
             assert (b[:2] >= 0).all() and (b[2:] <= P).all(), (k, b)
+
+    def test_device_mode_parity(self, mini_ho3d, cfg):
+        """--device_preprocess on HO3D train items matches the host path
+        (same aligned RNG stream protocol as DexYCB; all HO3D hands are
+        right, so no flip term in the affine)."""
+        import jax
+
+        from vpho_tpu.configs.config import Config
+        from vpho_tpu.data.device_pipeline import make_device_preprocess
+        from vpho_tpu.data.dexycb import collate
+
+        root, _ = mini_ho3d
+        host_ds = H.HO3DForceDataset(
+            Config(data_dir=root, dataset_name="ho3d", patch_size=128,
+                   num_workers=0, clahe_prob=0.0,
+                   random_erasing_mode="const"), root, split="train")
+        dcfg = Config(data_dir=root, dataset_name="ho3d", patch_size=128,
+                      num_workers=0, clahe_prob=0.0,
+                      random_erasing_mode="const", device_preprocess=True)
+        dev_ds = H.HO3DForceDataset(dcfg, root, split="train")
+        host = collate([host_ds[i] for i in range(2)])
+        raw = collate([dev_ds[i] for i in range(2)])
+        assert "rgb_full" in raw and "rgb" not in raw
+        dev = make_device_preprocess(dcfg, is_train=True)(
+            raw, jax.random.PRNGKey(3))
+        d_rgb = np.abs(np.asarray(dev["rgb"]) - host["rgb"])
+        assert d_rgb.mean() < 0.05, d_rgb.mean()
+        d_hm = np.abs(np.asarray(dev["hm_hand"]) - host["hm_hand"])
+        assert d_hm.max() < 0.25 and d_hm.mean() < 0.01
+        np.testing.assert_allclose(np.asarray(dev["gt_obj"]), host["gt_obj"],
+                                   atol=1e-6)
 
     def test_contact_derived_is_grasped(self, mini_ho3d, cfg):
         """Train items compute contact + pool to anchors + derive is_grasped

@@ -67,7 +67,32 @@ class HO3DForceDataset:
 
         self.mano_r, _ = _fk_fn("right")
         self.tables = anchor_lib.load_anchor_tables(self.mano_r)
-        self.augmentor = ImageAugmentor(AugmentConfig())
+        # consume the CLI augmentation knobs exactly like DexYCB (this was
+        # silently using AugmentConfig() defaults before r5, making flags
+        # like --clahe_prob/--random_erasing_mode dead for HO3D)
+        self.augmentor = ImageAugmentor(AugmentConfig(
+            clahe_prob=cfg.clahe_prob, RGB_shift_prob=cfg.RGB_shift_prob,
+            shift_limit=tuple(cfg.shift_limit),
+            color_jitter_prob=cfg.color_jitter_prob,
+            brightness=tuple(cfg.brightness), contrast=tuple(cfg.contrast),
+            saturation=tuple(cfg.saturation), hue=tuple(cfg.hue),
+            gaussian_blur_prob=cfg.gaussian_blur_prob,
+            blur_limit=tuple(cfg.blur_limit),
+            sigma_limit=tuple(cfg.sigma_limit),
+            motion_blur_prob=cfg.motion_blur_prob,
+            motion_blur_limit=tuple(cfg.motion_blur_limit),
+            random_erasing_prob=cfg.random_erasing_prob,
+            random_erasing_min_area=cfg.random_erasing_min_area,
+            random_erasing_max_area=cfg.random_erasing_max_area,
+            random_erasing_max_count=int(cfg.random_erasing_max_count),
+            random_erasing_mode=cfg.random_erasing_mode,
+        ))
+        # --device_preprocess: train/valid items ship decoded frames + warp/
+        # aug params for the on-device pixel graph (data/device_pipeline.py),
+        # exactly like DexYCB.  The GT-less evaluation split stays host-side:
+        # it has no hand keypoints, so the shared preprocess graph (which
+        # synthesizes hm_hand from jt2d) cannot run on it.
+        self.device_mode = bool(getattr(cfg, "device_preprocess", False))
         self.index_ls = self._load_samples()
         self.dir2gravity = self._load_json("asset/ours/HO3D_v2/gravity_direction.json")
         self.is_grasped_dt = self._load_pkl("asset/ours/HO3D_v2/is_off_desk.pkl")
@@ -223,7 +248,6 @@ class HO3DForceDataset:
 
         for _ in range(100):
             R3, A2, K_crop = helper._augmentation_rotmat(center_jit, scale, rot, jt2d, kpt2d, K)
-            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
             _jt2d2 = jt2d @ A2[:2, :2].T + A2[:2, 2]
             _kpt2d2 = kpt2d @ A2[:2, :2].T + A2[:2, 2]
             bbox_hand = expand_bbox(pt2d_to_bbox(_jt2d2), 1.15)
@@ -234,6 +258,9 @@ class HO3DForceDataset:
                 break
             scale *= 1.01
         jt2d_c, kpt2d_c = _jt2d2, _kpt2d2
+        patch = None
+        if not self.device_mode:
+            patch = cv2.warpAffine(rgb, A2[:2], (P, P), flags=cv2.INTER_CUBIC)
 
         jt3d = jt3d @ R3.T
         global_rot = _mat_to_aa(R3 @ _aa_to_mat(global_rot))
@@ -246,22 +273,45 @@ class HO3DForceDataset:
         gravity = gravity @ R3.T
         obj_com = obj_com @ R3.T
 
+        aug_params = None
         if self.is_train:
-            patch = self.augmentor.run_color(patch, rng)
+            if self.device_mode:
+                helper.augmentor = self.augmentor
+                rgb = helper._clahe_source_region(rgb, rng, A2, P)
+                aug_params = self.augmentor.sample_device_params(rng, P)
+            else:
+                patch = self.augmentor.run_color(patch, rng)
 
         root = jt3d[0].astype(np.float32)
         vert_rel = (vert3d - root).astype(np.float32)
         jt_rel = (jt3d - root).astype(np.float32)
 
-        hm_hand = adaptive_bbox_heatmap_np(
-            jt2d_c, bbox_hand, self.cfg.heatmap_size, self.cfg.heatmap_hand_sigma)
-        hm_obj = square_bbox_heatmap_np(
-            kpt2d_c, bbox_obj_rect, self.cfg.heatmap_size,
-            self.cfg.heatmap_obj_sigma, True)
+        if self.device_mode:
+            pixel_fields = {
+                "rgb_full": rgb.astype(np.uint8),
+                "warp_minv": np.linalg.inv(
+                    np.vstack([A2[:2], [0.0, 0.0, 1.0]]))[:2].astype(np.float32),
+                "jt2d": jt2d_c.astype(np.float32),
+                "kpt2d": kpt2d_c.astype(np.float32),
+            }
+            if aug_params is not None:
+                pixel_fields.update(aug_params)
+        else:
+            hm_hand = adaptive_bbox_heatmap_np(
+                jt2d_c, bbox_hand, self.cfg.heatmap_size,
+                self.cfg.heatmap_hand_sigma)
+            hm_obj = square_bbox_heatmap_np(
+                kpt2d_c, bbox_obj_rect, self.cfg.heatmap_size,
+                self.cfg.heatmap_obj_sigma, True)
 
-        rgb_norm = normalize_rgb(patch)
-        if self.is_train:
-            rgb_norm = self.augmentor.run_random_erasing(rgb_norm, rng)
+            rgb_norm = normalize_rgb(patch)
+            if self.is_train:
+                rgb_norm = self.augmentor.run_random_erasing(rgb_norm, rng)
+            pixel_fields = {
+                "rgb": rgb_norm.astype(np.float32),
+                "hm_hand": hm_hand.astype(np.float32),
+                "hm_obj": hm_obj.astype(np.float32),
+            }
 
         rel_t = obj_rt[:3, 3] - root
         gt_obj = np.concatenate([_mat_to_rot6d(obj_rt[:3, :3]), rel_t]).astype(np.float32)
@@ -269,15 +319,13 @@ class HO3DForceDataset:
         return {
             "index": np.int32(index),
             "is_ho3d": True,
-            "rgb": rgb_norm.astype(np.float32),
+            **pixel_fields,
             "root_joint": root,
             "root_joint_flip": root,
             "bbox_hand": bbox_hand.astype(np.float32),
             "bbox_obj": bbox_obj.astype(np.float32),
             "bbox_hand_rect": bbox_hand_rect.astype(np.float32),
             "bbox_obj_rect": bbox_obj_rect.astype(np.float32),
-            "hm_hand": hm_hand.astype(np.float32),
-            "hm_obj": hm_obj.astype(np.float32),
             "is_right": True,
             "gt_obj": gt_obj,
             "gt_obj_rt": obj_rt[:3].astype(np.float32),
