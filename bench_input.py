@@ -102,6 +102,9 @@ def main():
         import jax
 
         jax.block_until_ready(device_fn(warm_b)["rgb"])
+        # the warm-up pass populated the first bs items' contact caches —
+        # re-clear so the cold measurement is actually cold
+        shutil.rmtree(os.path.join(root, "cache"), ignore_errors=True)
 
     cold = run_pass(ds_train, bs, n_batches, workers,
                     f"train[{mode}] cold-contact-cache", device_fn)

@@ -80,6 +80,38 @@ class AugmentConfig:
 class ImageAugmentor:
     def __init__(self, cfg: AugmentConfig | None = None):
         self.cfg = cfg or AugmentConfig()
+        # device-path combined-kernel canvas: gaussian (full conv) motion ->
+        # max_g + max_m - 1, forced odd; derived from the configured limits
+        # so raising --blur_limit past 7 cannot overflow _embed_center
+        k = int(self.cfg.blur_limit[1]) + int(self.cfg.motion_blur_limit[1]) - 1
+        self.blur_k = k + (k + 1) % 2
+
+    @classmethod
+    def from_config(cls, cfg) -> "ImageAugmentor":
+        """Build from a vpho Config (the CLI augmentation knobs).
+
+        Single construction point shared by the DexYCB and HO3D datasets —
+        a new knob added to Config gets wired here once (HO3D silently ran
+        on AugmentConfig() defaults before r5 precisely because this was
+        duplicated per dataset).
+        """
+        return cls(AugmentConfig(
+            clahe_prob=cfg.clahe_prob, RGB_shift_prob=cfg.RGB_shift_prob,
+            shift_limit=tuple(cfg.shift_limit),
+            color_jitter_prob=cfg.color_jitter_prob,
+            brightness=tuple(cfg.brightness), contrast=tuple(cfg.contrast),
+            saturation=tuple(cfg.saturation), hue=tuple(cfg.hue),
+            gaussian_blur_prob=cfg.gaussian_blur_prob,
+            blur_limit=tuple(cfg.blur_limit),
+            sigma_limit=tuple(cfg.sigma_limit),
+            motion_blur_prob=cfg.motion_blur_prob,
+            motion_blur_limit=tuple(cfg.motion_blur_limit),
+            random_erasing_prob=cfg.random_erasing_prob,
+            random_erasing_min_area=cfg.random_erasing_min_area,
+            random_erasing_max_area=cfg.random_erasing_max_area,
+            random_erasing_max_count=int(cfg.random_erasing_max_count),
+            random_erasing_mode=cfg.random_erasing_mode,
+        ))
 
     def run_color(self, rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:
         c = self.cfg
@@ -129,10 +161,8 @@ class ImageAugmentor:
 
     # -- device-pipeline parameter sampling (data/device_pipeline.py) -----
 
-    BLUR_K = 13  # 7 (gaussian) full-conv 7 (motion) = 13
-
     def sample_device_params(self, rng: np.random.RandomState,
-                             patch: int) -> dict:
+                             patch: int, mirror: bool = False) -> dict:
         """Host-side draw of every stochastic knob; pixels run on device.
 
         Same per-op trigger probabilities and value distributions as
@@ -140,6 +170,11 @@ class ImageAugmentor:
         doesn't trigger (shift 0, bcsh (1,1,1,0), delta kernel, h=0 rects).
         CLAHE is not sampled here — it stays host-side (``maybe_clahe``),
         applied to the full frame pre-warp (DEVIATIONS.md D15).
+
+        ``mirror``: left-hand samples — the host path blurs the patch THEN
+        flips it, while the device path folds the flip into the warp and
+        blurs the already-flipped image; mirroring the kernel columns makes
+        the two orders identical (flip(x * k) == flip(x) * mirror(k)).
         """
         c = self.cfg
         shift = np.zeros(3, np.float32)
@@ -181,8 +216,10 @@ class ImageAugmentor:
                         rects[r] = (rng.randint(0, patch - h),
                                     rng.randint(0, patch - w), h, w)
                         break
+        if mirror:
+            kern = kern[:, ::-1]
         return {"rgb_shift": shift, "jitter_bcsh": bcsh,
-                "blur_kernel": _embed_center(kern, self.BLUR_K),
+                "blur_kernel": _embed_center(kern, self.blur_k),
                 "erase_rects": rects}
 
     def maybe_clahe(self, rgb: np.ndarray, rng: np.random.RandomState) -> np.ndarray:

@@ -41,7 +41,7 @@ from ..models import anchor as anchor_lib
 from ..models.mano import MANOModel, load_mano, mano_fk
 from ..models.ycb import YCB_CLASSES, YCBRegistry, load_registry
 from ..ops.heatmap import adaptive_bbox_heatmap_np, square_bbox_heatmap_np
-from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
+from .augment import ImageAugmentor, normalize_rgb
 
 
 # ---------------------------------------------------------------------------
@@ -215,20 +215,7 @@ class DexYCBForceDataset:
         self.mano_r, _ = _fk_fn("right")
         self.mano_l, _ = _fk_fn("left")
         self.tables = anchor_lib.load_anchor_tables(self.mano_r)
-        self.augmentor = ImageAugmentor(AugmentConfig(
-            clahe_prob=cfg.clahe_prob, RGB_shift_prob=cfg.RGB_shift_prob,
-            shift_limit=tuple(cfg.shift_limit), color_jitter_prob=cfg.color_jitter_prob,
-            brightness=tuple(cfg.brightness), contrast=tuple(cfg.contrast),
-            saturation=tuple(cfg.saturation), hue=tuple(cfg.hue),
-            gaussian_blur_prob=cfg.gaussian_blur_prob, blur_limit=tuple(cfg.blur_limit),
-            sigma_limit=tuple(cfg.sigma_limit), motion_blur_prob=cfg.motion_blur_prob,
-            motion_blur_limit=tuple(cfg.motion_blur_limit),
-            random_erasing_prob=cfg.random_erasing_prob,
-            random_erasing_min_area=cfg.random_erasing_min_area,
-            random_erasing_max_area=cfg.random_erasing_max_area,
-            random_erasing_max_count=int(cfg.random_erasing_max_count),
-            random_erasing_mode=cfg.random_erasing_mode,
-        ))
+        self.augmentor = ImageAugmentor.from_config(cfg)
         self.samples, self.index_ls = self._load_samples()
         self.date2extr, self.date_ls = self._load_cam_extr()
         self.date2gravity = self._load_gravity()
@@ -236,6 +223,14 @@ class DexYCBForceDataset:
         # parameters; pixel work (crop, color, normalize, erase, heatmaps)
         # runs on-device in one jitted graph (data/device_pipeline.py)
         self.device_mode = bool(getattr(cfg, "device_preprocess", False))
+        if self.device_mode and is_train and cfg.max_rot >= 85:
+            # the LU two-pass warp divides by cos(rot)/scale (ops/image.py
+            # affine_warp): rotations near +-90 deg would silently produce
+            # blank/NaN crops.  The reference default is 30 deg; fail loudly
+            # instead of training on garbage.
+            raise ValueError(
+                f"--device_preprocess supports --max_rot < 85 deg (got "
+                f"{cfg.max_rot}); use the host pipeline for larger rotations")
         self._warned: set = set()
 
     # -- index / caches --------------------------------------------------
@@ -366,21 +361,29 @@ class DexYCBForceDataset:
         so the full-mesh NN runs once per image ever, not once per epoch.
         Cache write failures (read-only tree) degrade to recompute + one
         warning."""
+        lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
+        vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
+        # the labels depend on the threshold config too: non-default
+        # thresholds get their own cache namespace so a threshold change
+        # can never silently serve stale labels (the reference's own cache
+        # has this staleness bug — its key is the image path alone)
+        ns = ("hand_contact" if (lo, hi, vthresh) == (-0.01, 0.01, 0.005)
+              else f"hand_contact_{lo:g}_{hi:g}_{vthresh:g}")
         cache_path = os.path.join(
-            self.data_dir, "cache", "hand_contact",
+            self.data_dir, "cache", ns,
             color_file.replace("color_", "contact_").replace(".jpg", ".npy"))
         if os.path.exists(cache_path):
             return np.load(cache_path).astype(np.float32)
         verts = np.asarray(self.registry.verts_full[obj_id])
         obj_cam = verts @ obj_rt[:3, :3].T + obj_rt[:3, 3]
         faces = (self.mano_r if is_right else self.mano_l).faces
-        lo, hi = getattr(self.cfg, "contact_normal_distance_thresh", (-0.01, 0.01))
-        vthresh = getattr(self.cfg, "contact_vertical_distance_thresh", 0.005)
         w = signed_contact_weights(hand_vert_fn(), faces, obj_cam, lo=lo,
                                    hi=hi, tangential_thresh=vthresh)
         try:
+            import threading
+
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
-            tmp = cache_path + f".tmp{os.getpid()}"
+            tmp = cache_path + f".tmp{os.getpid()}_{threading.get_ident()}"
             with open(tmp, "wb") as f:  # atomic rename: loader threads race
                 np.save(f, w)
             os.replace(tmp, cache_path)
@@ -489,7 +492,8 @@ class DexYCBForceDataset:
         if self.is_train:
             if self.device_mode:
                 rgb = self._clahe_source_region(rgb, rng, A2, P)
-                aug_params = self.augmentor.sample_device_params(rng, P)
+                aug_params = self.augmentor.sample_device_params(
+                    rng, P, mirror=not is_right)
             else:
                 patch = self.augmentor.run_color(patch, rng)
 

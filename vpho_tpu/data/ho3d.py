@@ -27,7 +27,7 @@ from ..configs.config import Config
 from ..models import anchor as anchor_lib
 from ..models.ycb import YCB_ID, load_registry
 from ..ops.heatmap import adaptive_bbox_heatmap_np, square_bbox_heatmap_np
-from .augment import AugmentConfig, ImageAugmentor, normalize_rgb
+from .augment import ImageAugmentor, normalize_rgb
 from .dexycb import (_aa_to_mat, _mat_to_aa, _mat_to_rot6d, bbox_in_image,
                      expand_bbox, get_hand_vert, pt2d_to_bbox, rectangularize,
                      signed_contact_weights)
@@ -70,29 +70,17 @@ class HO3DForceDataset:
         # consume the CLI augmentation knobs exactly like DexYCB (this was
         # silently using AugmentConfig() defaults before r5, making flags
         # like --clahe_prob/--random_erasing_mode dead for HO3D)
-        self.augmentor = ImageAugmentor(AugmentConfig(
-            clahe_prob=cfg.clahe_prob, RGB_shift_prob=cfg.RGB_shift_prob,
-            shift_limit=tuple(cfg.shift_limit),
-            color_jitter_prob=cfg.color_jitter_prob,
-            brightness=tuple(cfg.brightness), contrast=tuple(cfg.contrast),
-            saturation=tuple(cfg.saturation), hue=tuple(cfg.hue),
-            gaussian_blur_prob=cfg.gaussian_blur_prob,
-            blur_limit=tuple(cfg.blur_limit),
-            sigma_limit=tuple(cfg.sigma_limit),
-            motion_blur_prob=cfg.motion_blur_prob,
-            motion_blur_limit=tuple(cfg.motion_blur_limit),
-            random_erasing_prob=cfg.random_erasing_prob,
-            random_erasing_min_area=cfg.random_erasing_min_area,
-            random_erasing_max_area=cfg.random_erasing_max_area,
-            random_erasing_max_count=int(cfg.random_erasing_max_count),
-            random_erasing_mode=cfg.random_erasing_mode,
-        ))
+        self.augmentor = ImageAugmentor.from_config(cfg)
         # --device_preprocess: train/valid items ship decoded frames + warp/
         # aug params for the on-device pixel graph (data/device_pipeline.py),
         # exactly like DexYCB.  The GT-less evaluation split stays host-side:
         # it has no hand keypoints, so the shared preprocess graph (which
         # synthesizes hm_hand from jt2d) cannot run on it.
         self.device_mode = bool(getattr(cfg, "device_preprocess", False))
+        if self.device_mode and self.is_train and cfg.max_rot >= 85:
+            raise ValueError(
+                f"--device_preprocess supports --max_rot < 85 deg (got "
+                f"{cfg.max_rot}); use the host pipeline for larger rotations")
         self.index_ls = self._load_samples()
         self.dir2gravity = self._load_json("asset/ours/HO3D_v2/gravity_direction.json")
         self.is_grasped_dt = self._load_pkl("asset/ours/HO3D_v2/is_off_desk.pkl")
